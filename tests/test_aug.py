@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hairci.aug import ops, pipelines
+from hairci.aug.hair_masking import hair_patch_mask, mask_hair_patches, patch_means
+
+
+def test_knn_transform_exact():
+    """CenterCrop(224) + /255 + ImageNet normalize, exact math."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(1, 250, 260, 3), dtype=np.uint8)
+    out = np.asarray(pipelines.knn_transform(jnp.asarray(img)))
+    top = int(round((250 - 224) / 2.0))
+    left = int(round((260 - 224) / 2.0))
+    ref = img[0, top:top + 224, left:left + 224].astype(np.float32) / 255.0
+    ref = (ref - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(out[0], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_center_crop_pads_small_images():
+    x = jnp.ones((1, 100, 100, 3))
+    out = ops.center_crop(x, 224)
+    assert out.shape == (1, 224, 224, 3)
+
+
+def test_random_resized_crop_shape_and_range():
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (4, 120, 160, 3))
+    out = ops.random_resized_crop(key, x, 64)
+    assert out.shape == (4, 64, 64, 3)
+    assert np.asarray(out).min() >= -0.3  # antialias can ring slightly
+
+
+def test_hflip_deterministic_flip():
+    x = jnp.arange(2 * 4 * 4 * 1, dtype=jnp.float32).reshape(2, 4, 4, 1)
+    out = ops.random_hflip(jax.random.key(0), x, p=1.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x[:, :, ::-1, :]))
+
+
+def test_color_jitter_identity_at_zero_strength():
+    x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+    out = ops.color_jitter(jax.random.key(1), x, 0.0, 0.0, 0.0, 0.0, p=1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_hue_rotation_invertible():
+    x = jax.random.uniform(jax.random.key(0), (1, 8, 8, 3))
+    y = ops.adjust_hue(x, 0.25)
+    z = ops.adjust_hue(y, -0.25)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-3)
+
+
+def test_grayscale_channels_equal():
+    x = jax.random.uniform(jax.random.key(0), (2, 8, 8, 3))
+    g = ops.rgb_to_grayscale(x)
+    np.testing.assert_allclose(np.asarray(g[..., 0]), np.asarray(g[..., 1]))
+
+
+def test_gaussian_blur_preserves_mean():
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    out = ops.gaussian_blur(jax.random.key(1), x, 5, (1.0, 1.0), p=1.0)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(
+        np.asarray(out).mean(), np.asarray(x).mean(), atol=0.01)
+    # blur reduces variance
+    assert np.asarray(out).var() < np.asarray(x).var()
+
+
+def test_rotation_zero_is_identity():
+    x = jax.random.uniform(jax.random.key(0), (1, 16, 16, 3))
+    out = ops.random_rotate(jax.random.key(1), x, degrees=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_solarize():
+    x = jnp.array([[[[0.2, 0.8, 0.5]]]])
+    out = ops.solarize(x, 0.5)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], [0.2, 0.2, 0.5])
+
+
+def test_patch_means_and_hair_mask():
+    x = np.zeros((1, 64, 64, 3), dtype=np.float32)
+    x[0, :32, :32] = 0.5  # hair in top-left 32x32 patch only
+    pm = np.asarray(patch_means(jnp.asarray(x), 32))
+    np.testing.assert_allclose(pm[0], [0.5, 0.0, 0.0, 0.0])
+    hm = np.asarray(hair_patch_mask(jnp.asarray(x), 32, 0.01))
+    np.testing.assert_array_equal(hm[0], [True, False, False, False])
+
+
+def test_mask_hair_patches_only_masks_hair():
+    rng = np.random.default_rng(0)
+    x = np.zeros((8, 224, 224, 3), dtype=np.float32)
+    # hair occupies left half
+    x[:, :, :112] = rng.uniform(0.2, 1.0, size=(8, 224, 112, 3))
+    out = np.asarray(mask_hair_patches(
+        jax.random.key(3), jnp.asarray(x), patch_size=32,
+        mask_ratio_range=(0.3, 0.5)))
+    # background stays zero
+    np.testing.assert_array_equal(out[:, :, 112:], 0.0)
+    # some hair patches fully zeroed
+    pm_in = np.asarray(patch_means(jnp.asarray(x), 32))
+    pm_out = np.asarray(patch_means(jnp.asarray(out), 32))
+    hair = pm_in > 0.01
+    zeroed = hair & (pm_out == 0.0)
+    frac = zeroed.sum(axis=1) / hair.sum(axis=1)
+    assert np.all(frac >= 0.2) and np.all(frac <= 0.55)
+
+
+def test_simclr_pipeline_two_views():
+    t = pipelines.simclr_transform(size=64)
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (2, 96, 96, 3), dtype=np.uint8))
+    views = t(jax.random.key(0), x)
+    assert len(views) == 2
+    for v in views:
+        assert v.shape == (2, 64, 64, 3)
+        assert np.isfinite(np.asarray(v)).all()
+    # views differ (random aug)
+    assert not np.allclose(np.asarray(views[0]), np.asarray(views[1]))
+
+
+def test_dino_pipeline_view_shapes():
+    t = pipelines.dino_transform(global_size=64, local_size=32, n_local=2)
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (2, 96, 96, 3), dtype=np.uint8))
+    views = t(jax.random.key(0), x)
+    assert [v.shape[1] for v in views] == [64, 64, 32, 32]
+
+
+def test_pipeline_jittable():
+    t = pipelines.simclr_transform(size=32)
+    fn = jax.jit(lambda k, x: t(k, x))
+    x = jnp.zeros((2, 48, 48, 3), dtype=jnp.uint8)
+    views = fn(jax.random.key(0), x)
+    assert views[0].shape == (2, 32, 32, 3)

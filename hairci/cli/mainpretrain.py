@@ -1,0 +1,70 @@
+"""`mainpretrain.py` — the pretraining entry point, CLI-surface compatible
+with `/root/reference/HairPretraining/mainpretrain.py` (same flags/YAML, see
+hairci/utils/config.py), dispatching to TPU-native recipes.
+
+Usage:
+    python -m hairci.cli.mainpretrain --mode SHAM --model resnet18 \
+        --train_annotation data_train.csv --img_dir images/ --epochs 50
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+import jax.numpy as jnp
+
+from hairci.data import DataLoader, load_manifest
+from hairci.ssl import build_recipe
+from hairci.train.engine import Trainer
+from hairci.utils import parse_pretrain_args, set_seed
+
+
+def build_recipe_from_args(args, num_batches: int):
+    """Mode dispatch mirroring `mainpretrain.py:100-173`."""
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    common = dict(
+        img_size=args.size,
+        learning_rate=args.lr,
+        weight_decay=args.weight_decay,
+        betas=(args.beta1, args.beta2),
+        dtype=dtype,
+    )
+    mode = args.mode
+    if mode == "simclr":
+        return build_recipe("simclr", backbone=args.model,
+                            temperature=args.temp, **common)
+    if mode == "SHAM":
+        return build_recipe(
+            "SHAM", backbone=args.model, temperature=args.temp,
+            ema_momentum=args.ema, warm_up_epochs=args.warm_up_epochs,
+            ablation=args.ablation, num_batches=num_batches, **common)
+    if mode in ("mae", "simMIM", "dinov2", "MSN", "DenseCL", "BYOL",
+                "simclr_supcon"):
+        return build_recipe(mode, **common)
+    raise SystemExit(f"mode {mode!r} is not implemented yet")
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    args = parse_pretrain_args(argv)
+    set_seed(args.seed)
+
+    if not args.train_annotation or not args.img_dir:
+        raise SystemExit("--train_annotation and --img_dir are required")
+
+    manifest = load_manifest(args.train_annotation, args.img_dir)
+    drop_last = args.mode == "SHAM"  # `mainpretrain.py:141-143`
+    raw_size = max(args.size, int(args.size * 256 / 224))  # headroom for RRC
+    loader = DataLoader(
+        manifest, batch_size=args.batch_size, size=raw_size,
+        mode="raw_resize", shuffle=True, drop_last=drop_last,
+        seed=args.seed, num_workers=args.num_workers)
+    recipe = build_recipe_from_args(args, num_batches=len(loader))
+    trainer = Trainer(recipe, loader, args)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from hairci.utils.config import (
+    build_pretrain_parser,
+    merge_config_with_args,
+    parse_pretrain_args,
+)
+from hairci.utils.seeding import set_seed

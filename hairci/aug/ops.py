@@ -138,6 +138,35 @@ def random_resized_crop(
     return jax.vmap(one)(x, keys)
 
 
+def random_resized_crop_with_params(
+    key: jax.Array,
+    x: jnp.ndarray,
+    size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    method: str = "bilinear",
+):
+    """Like `random_resized_crop` but also returns the crop boxes
+    (top, left, h, w) per image — the SiameseIM augmentation contract
+    (`SingleRandomResizedCrop` returning params,
+    `/root/reference/HairPretraining/utils/transform.py:421-466`)."""
+    B, H, W, C = x.shape
+    keys = jax.random.split(key, B)
+
+    def one(img, k):
+        top, left, h, w = _sample_crop_params(k, H, W, scale, ratio)
+        sy = size / h
+        sx = size / w
+        out = jax.image.scale_and_translate(
+            img, (size, size, C), (0, 1),
+            jnp.stack([sy, sx]), jnp.stack([-top * sy, -left * sx]),
+            method=method, antialias=True)
+        return out, jnp.stack([top, left, h, w])
+
+    out, boxes = jax.vmap(one)(x, keys)
+    return out, boxes
+
+
 # ---------------------------------------------------------------------------
 # flips / grayscale / solarize
 # ---------------------------------------------------------------------------

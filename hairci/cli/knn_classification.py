@@ -1,0 +1,120 @@
+"""`knn_classification.py` — evaluation entry point, CLI-surface compatible
+with `/root/reference/HairPretraining/knn_classification.py:43-199`:
+per-mode checkpoint load → knn / linear_prob / visualization /
+inter_intra_distance dispatch over the deterministic `knn_transform` loaders.
+
+Checkpoints are hairci Orbax dirs (per-mode torch formats are replaced by
+the uniform TrainState checkpoint; a torch-weight converter lives in
+hairci/retrieval/torch_import.py for reference-trained weights).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hairci.data import DataLoader, load_manifest
+from hairci.eval.classifier import Classifier
+from hairci.ssl import build_recipe
+from hairci.train import checkpoint as ckpt_lib
+from hairci.utils.config import merge_config_with_args
+from hairci.utils.seeding import set_seed
+
+EVAL_MODES = ["mae", "simclr", "simclr_supcon", "dinov2", "simMIM",
+              "siaMIM", "SHAM", "DenseCL", "MSN"]
+
+
+def build_eval_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Self-supervised/Supervised Trainer Arguments (hairci eval)")
+    p.add_argument("--save_path", type=str,
+                   default="classification_output_dir")
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--train_annotation", type=str)
+    p.add_argument("--test_annotation", type=str)
+    p.add_argument("--img_dir", type=str)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--mode", type=str, default="simclr_supcon",
+                   choices=EVAL_MODES)
+    p.add_argument("--model", type=str, default="resnet18",
+                   choices=["resnet18", "resnet50", "vit_b_16"])
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--device", type=str, default="tpu")
+    p.add_argument("--SHAM_mode", type=str, default="embedding",
+                   choices=["embedding", "reconstruction"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--config", type=str)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--eval_type", default=None, type=str,
+                   choices=["knn", "linear_prob", "visualization",
+                            "inter_intra_distance"])
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p
+
+
+def recipe_for_eval(args):
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    mode = "siameseim" if args.mode == "siaMIM" else args.mode
+    return build_recipe(mode, backbone=args.model, img_size=args.size,
+                        dtype=dtype)
+
+
+def load_state(recipe, args, sample):
+    state = recipe.create_state(jax.random.key(args.seed), sample)
+    if args.checkpoint_path:
+        state = ckpt_lib.restore_params_only(args.checkpoint_path, state)
+        logging.info("checkpoint loaded from %s", args.checkpoint_path)
+    else:
+        logging.warning("no --checkpoint_path; evaluating random init")
+    return state
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    parser = build_eval_parser()
+    args = parser.parse_args(argv)
+    args = merge_config_with_args(args, parser, argv)
+    set_seed(args.seed)
+
+    # deterministic eval loaders: exact CenterCrop(size) on host, normalize
+    # on device inside the recipe's extract_features (knn_transform parity)
+    train_m = load_manifest(args.train_annotation, args.img_dir)
+    test_m = load_manifest(args.test_annotation, args.img_dir)
+    train_loader = DataLoader(train_m, args.batch_size, size=args.size,
+                              mode="center_crop", shuffle=False,
+                              num_workers=args.num_workers)
+    test_loader = DataLoader(test_m, args.batch_size, size=args.size,
+                             mode="center_crop", shuffle=False,
+                             num_workers=args.num_workers)
+
+    recipe = recipe_for_eval(args)
+    sample = jnp.zeros((min(args.batch_size, 8), args.size, args.size, 3),
+                       jnp.uint8)
+    state = load_state(recipe, args, sample)
+
+    def embed_fn(images):
+        return recipe.extract_features(state, images)
+
+    clf = Classifier(embed_fn, train_loader, test_loader, args.save_path,
+                     batch_size=args.batch_size)
+    if args.eval_type == "knn":
+        clf.knn_eval()
+    elif args.eval_type == "linear_prob":
+        clf.linear_probe_eval()
+    elif args.eval_type == "visualization":
+        clf.save_umap(split="test")
+    elif args.eval_type == "inter_intra_distance":
+        clf.compute_intra_inter_variance(split="both")
+    else:
+        raise SystemExit("--eval_type is required")
+
+
+if __name__ == "__main__":
+    main()

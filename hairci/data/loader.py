@@ -54,6 +54,17 @@ def decode_image(path: str, mode: str, size: int) -> Optional[np.ndarray]:
             if mode == "raw_resize":
                 im = im.resize((size, size), Image.BILINEAR)
                 return np.asarray(im, dtype=np.uint8)
+            if mode == "resize_center_crop":
+                # torchvision Resize(size) (shortest side) + CenterCrop(size)
+                # — the retrieval-encoder transform (hair_encoder.py:44-51)
+                w, h = im.size
+                if w <= h:
+                    nw, nh = size, max(int(round(h * size / w)), size)
+                else:
+                    nh, nw = size, max(int(round(w * size / h)), size)
+                im = im.resize((nw, nh), Image.BICUBIC)
+                return _center_crop_uint8(np.asarray(im, dtype=np.uint8),
+                                          size)
             arr = np.asarray(im, dtype=np.uint8)
         return _center_crop_uint8(arr, size)
     except Exception as e:  # noqa: BLE001 — any decode failure is skippable

@@ -107,7 +107,9 @@ class DINOHead(nn.Module):
         w = self.param("prototypes", nn.initializers.normal(0.02),
                        (self.out_dim, self.bottleneck))
         w = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)
-        return jnp.einsum("bd,kd->bk", x, w, preferred_element_type=jnp.float32)
+        # rank-agnostic: works for (B, D) cls tokens and (B, N, D) patches
+        return jnp.einsum("...d,kd->...k", x, w,
+                          preferred_element_type=jnp.float32)
 
 
 class Prototypes(nn.Module):

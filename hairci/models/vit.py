@@ -276,6 +276,11 @@ class VisionTransformer(nn.Module):
         )
         if self.sincos_pos_embed:
             pos_embed = jax.lax.stop_gradient(pos_embed)
+        if tokens.shape[1] != self.num_patches:
+            # multi-resolution apply (DINO/MSN local crops): bilinear
+            # pos-embed interpolation, parity with `main_backbone.py:98-126`
+            new_grid = int(tokens.shape[1] ** 0.5)
+            pos_embed = resize_pos_embed(pos_embed, new_grid, self.grid_size)
         tokens = tokens + pos_embed[:, 1:].astype(tokens.dtype)
         if ids_keep is not None:
             tokens = jnp.take_along_axis(tokens, ids_keep[..., None], axis=1)

@@ -130,7 +130,15 @@ class SHAMRecipe:
         num_batches: int = 1,
         dtype: Any = jnp.float32,
         transform: Optional[MultiViewTransform] = None,
+        mask_ratio_range: Tuple[float, float] = (0.1, 0.5),
     ):
+        # Trainer instantiates PositiveMaskingTransform(mask_ratio_range=
+        # (0.1, 0.5)) (`pretrain_engine.py:100`); fixed-margin ablations pin
+        # both stages (`pretrain_engine.py:102-104`)
+        if ablation == "fixed_margin_0_7":
+            margin_stage1 = margin_stage2 = 0.7
+        elif ablation == "fixed_margin_0_5":
+            margin_stage1 = margin_stage2 = 0.5
         self.module = SHAMModule(backbone_name=backbone, img_size=img_size,
                                  dtype=dtype)
         self.temperature = temperature
@@ -143,6 +151,7 @@ class SHAMRecipe:
         self.ablation = ablation
         self.num_batches = num_batches
         self.img_size = img_size
+        self.mask_ratio_range = tuple(mask_ratio_range)
         # SHAM uses the SimCLR two-view transform (`mainpretrain.py:130`)
         self.transform = transform or simclr_transform(img_size)
         self.tx = make_optimizer(learning_rate, weight_decay, betas,
@@ -226,7 +235,8 @@ class SHAMRecipe:
         if self.ablation == "No masked positive":
             masked_pos = pos_samples
         else:
-            masked_pos = positive_masking_transform(k_mask, pos_samples)
+            masked_pos = positive_masking_transform(
+                k_mask, pos_samples, mask_ratio_range=self.mask_ratio_range)
 
         def loss_fn(params):
             # one fused online forward over [neg; pos; anchor] (3B rows)

@@ -1,0 +1,228 @@
+"""SiameseIM recipe — reference `SiameseIMViT`
+(`/root/reference/HairPretraining/src/backbone.py:1217-1719`):
+  - online ViT encoder on a blockwise-masked view,
+  - decoder = projector blocks + predictor blocks that reconstruct the
+    momentum branch's features AT THE OTHER VIEW's patch locations, using
+    relative-position sin-cos embeddings computed from the two crops'
+    geometry (`forward_sim`, `backbone.py:1563-1638`),
+  - momentum branch (`mm_*` modules with manual `mm_update`,
+    `backbone.py:1461-1490`) encodes the full second view,
+  - UniGrad loss with the correlation matrix all-reduced across replicas
+    (`backbone.py:1640-1660`) — here the global-batch correlation under jit
+    reproduces that collective.
+
+Blockwise masking is gated like `--with_blockwise_mask`
+(`scripts/train_hair_repsentation.sh`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hairci.aug import ops
+from hairci.aug.pipelines import knn_transform
+from hairci.losses import unigrad_loss
+from hairci.models.masking import mask_to_ids_keep, random_block_mask
+from hairci.models.vit import Block, build_vit
+from hairci.ssl.base import register_recipe
+from hairci.train.optim import make_optimizer
+from hairci.train.schedules import cosine_schedule
+from hairci.train.state import TrainState, ema_update
+
+
+def sim_two_view_transform(key: jax.Array, x: jnp.ndarray, size: int = 224):
+    """SiameseIM aug (`DataAugmentationForSIM`, `transform.py:421-466`):
+    per-view RRC (params returned) + flip + color jitter + blur + normalize.
+    Returns (v1, v2, boxes1, boxes2)."""
+    x = ops.to_float(x)
+    ks = jax.random.split(key, 8)
+    v1, b1 = ops.random_resized_crop_with_params(ks[0], x, size,
+                                                 scale=(0.2, 1.0))
+    v2, b2 = ops.random_resized_crop_with_params(ks[1], x, size,
+                                                 scale=(0.2, 1.0))
+    v1 = ops.color_jitter(ks[2], v1, 0.4, 0.4, 0.2, 0.1, p=0.8)
+    v2 = ops.color_jitter(ks[3], v2, 0.4, 0.4, 0.2, 0.1, p=0.8)
+    v1 = ops.gaussian_blur(ks[4], v1, 23, (0.1, 2.0), p=0.5)
+    v2 = ops.gaussian_blur(ks[5], v2, 23, (0.1, 2.0), p=0.5)
+    return ops.normalize(v1), ops.normalize(v2), b1, b2
+
+
+def relative_pos_embed(boxes_src: jnp.ndarray, boxes_tgt: jnp.ndarray,
+                       grid: int, dim: int) -> jnp.ndarray:
+    """Sin-cos embeddings of the TARGET view's patch centers expressed in the
+    SOURCE view's crop frame (B, grid*grid, dim)."""
+    # patch centers in [0,1] of the target crop
+    centers = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid
+    cy, cx = jnp.meshgrid(centers, centers, indexing="ij")
+    cy = cy.reshape(-1)  # (N,)
+    cx = cx.reshape(-1)
+
+    def one(bs, bt):
+        top_s, left_s, h_s, w_s = bs
+        top_t, left_t, h_t, w_t = bt
+        # absolute coords of target patch centers
+        ay = top_t + cy * h_t
+        ax = left_t + cx * w_t
+        # express in source-crop units of patches
+        ry = (ay - top_s) / h_s * grid
+        rx = (ax - left_s) / w_s * grid
+        return ry, rx
+
+    ry, rx = jax.vmap(one)(boxes_src, boxes_tgt)  # (B, N)
+    half = dim // 2
+    omega = 1.0 / 10000 ** (jnp.arange(half // 2, dtype=jnp.float32)
+                            / (half / 2.0))
+    def enc(v):
+        out = v[..., None] * omega  # (B, N, half/2)
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+    return jnp.concatenate([enc(ry), enc(rx)], axis=-1)
+
+
+class SiameseIMModule(nn.Module):
+    backbone_name: str = "vit_base_patch16"
+    img_size: int = 224
+    proj_dim: int = 256
+    decoder_depth: int = 4
+    projector_depth: int = 2
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = build_vit(self.backbone_name, img_size=self.img_size,
+                                 dtype=self.dtype)
+        d = self.encoder.embed_dim
+        self.projector_blocks = [
+            Block(self.encoder.num_heads, dtype=self.dtype)
+            for _ in range(self.projector_depth)]
+        self.predictor_blocks = [
+            Block(self.encoder.num_heads, dtype=self.dtype)
+            for _ in range(self.decoder_depth)]
+        self.pred_head = nn.Dense(self.proj_dim, dtype=self.dtype)
+        self.target_head = nn.Dense(self.proj_dim, dtype=self.dtype)
+        self.pred_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        self.mask_token = self.param("mask_token",
+                                     nn.initializers.normal(0.02), (1, 1, d))
+
+    def online_forward(self, x, ids_keep, rel_pos, train: bool = True):
+        """Masked encode of view1, then decode features at view2's
+        positions (rel_pos (B, N, D))."""
+        tokens = self.encoder(x, ids_keep=ids_keep, train=train)  # (B,K+1,D)
+        for blk in self.projector_blocks:
+            tokens = blk(tokens)
+        B = x.shape[0]
+        N = rel_pos.shape[1]
+        queries = jnp.tile(self.mask_token, (B, N, 1)).astype(tokens.dtype)
+        queries = queries + rel_pos.astype(tokens.dtype)
+        seq = jnp.concatenate([tokens, queries], axis=1)
+        for blk in self.predictor_blocks:
+            seq = blk(seq)
+        pred = self.pred_norm(seq[:, -N:])
+        return self.pred_head(pred).astype(jnp.float32)  # (B, N, proj)
+
+    def target_forward(self, x, train: bool = False):
+        tokens = self.encoder(x, train=train)  # momentum params applied here
+        return self.target_head(tokens[:, 1:]).astype(jnp.float32)
+
+    def extract_features(self, x, train: bool = False):
+        return self.encoder(x, train=train, pool=True)
+
+
+@register_recipe("siameseim")
+class SiameseIMRecipe:
+    def __init__(
+        self,
+        backbone: str = "vit_base_patch16",
+        img_size: int = 224,
+        mask_ratio: float = 0.6,
+        with_blockwise_mask: bool = True,
+        learning_rate: float = 1e-3,
+        weight_decay: float = 0.05,
+        betas=(0.9, 0.999),
+        lamb: float = 0.02,
+        dtype: Any = jnp.bfloat16,
+        epochs: int = 100,
+        **_unused,
+    ):
+        if backbone in ("resnet18", "resnet50", "vit_b_16"):
+            backbone = "vit_base_patch16"  # sim_vit_base_patch16 (`backbone.py:1723`)
+        self.module = SiameseIMModule(backbone_name=backbone,
+                                      img_size=img_size, dtype=dtype)
+        self.img_size = img_size
+        self.mask_ratio = mask_ratio
+        self.with_blockwise_mask = with_blockwise_mask
+        self.lamb = lamb
+        self.epochs = epochs
+        from hairci.models.vit import VIT_CONFIGS
+
+        p, d, _, _ = VIT_CONFIGS[backbone]
+        self.grid = img_size // p
+        self.embed_dim = d
+        self.tx = make_optimizer(learning_rate, weight_decay, betas)
+
+    def momentum_for_epoch(self, epoch: int) -> float:
+        return cosine_schedule(epoch, self.epochs, 0.996, 1.0)
+
+    def _masks(self, key, B):
+        grid = self.grid
+        n = grid * grid
+        num_keep = int(n * (1 - self.mask_ratio))
+        if self.with_blockwise_mask:
+            mask = random_block_mask(key, B, grid, self.mask_ratio)
+            ids_keep = mask_to_ids_keep(jnp.asarray(mask), num_keep)
+        else:
+            from hairci.models.masking import random_token_mask
+
+            ids_keep, _, _ = random_token_mask(key, B, n, self.mask_ratio)
+        return ids_keep
+
+    def create_state(self, rng, sample_images) -> TrainState:
+        v1, v2, b1, b2 = sim_two_view_transform(jax.random.key(0),
+                                                sample_images, self.img_size)
+        ids_keep = self._masks(jax.random.key(1), v1.shape[0])
+        rel = relative_pos_embed(b1, b2, self.grid, self.embed_dim)
+        variables = self.module.init(rng, v1, ids_keep, rel, train=True,
+                                     method=self.module.online_forward)
+        v_t = self.module.init(jax.random.fold_in(rng, 1), v2,
+                               method=self.module.target_forward)
+        params = {**v_t["params"], **variables["params"]}
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
+            opt_state=self.tx.init(params), tx=self.tx,
+            ema_params=params, ema_batch_stats={})
+
+    def train_step(self, state: TrainState, batch, rng,
+                   momentum: float | jnp.ndarray = 0.996
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        images = batch["image"] if isinstance(batch, dict) else batch
+        k_aug, k_mask = jax.random.split(rng)
+        v1, v2, b1, b2 = sim_two_view_transform(k_aug, images, self.img_size)
+        ids_keep = self._masks(k_mask, v1.shape[0])
+        rel = relative_pos_embed(b1, b2, self.grid, self.embed_dim)
+
+        ema_params = ema_update(state.ema_params, state.params, momentum)
+        state = state.replace(ema_params=ema_params)
+
+        target = self.module.apply({"params": state.ema_params}, v2,
+                                   train=False,
+                                   method=self.module.target_forward)
+        target = jax.lax.stop_gradient(target)
+
+        def loss_fn(params):
+            pred = self.module.apply({"params": params}, v1, ids_keep, rel,
+                                     train=True,
+                                     method=self.module.online_forward)
+            B, N, D = pred.shape
+            return unigrad_loss(pred.reshape(B * N, D),
+                                target.reshape(B * N, D), self.lamb)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    def extract_features(self, state: TrainState, images) -> jnp.ndarray:
+        x = knn_transform(images, self.img_size)
+        return self.module.apply({"params": state.params}, x, train=False,
+                                 method=self.module.extract_features)

@@ -58,6 +58,29 @@ def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
     return state.replace(**restored), epoch
 
 
+def restore_params_only(path: str, state: TrainState,
+                        keys=("params", "batch_stats", "ema_params",
+                              "ema_batch_stats")) -> TrainState:
+    """Partial restore for evaluation: only the model weights, ignoring
+    optimizer state and method-specific caches whose shapes depend on the
+    training configuration (e.g. the SHAM neg_indices cache sized by
+    num_batches × batch_size)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    full = _to_save(state)
+    template = {
+        k: jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, full[k])
+        for k in keys if full.get(k) is not None
+    }
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        restore_args=jax.tree_util.tree_map(
+            lambda s: ocp.RestoreArgs(restore_type=np.ndarray), template),
+        transforms={},  # drop checkpoint keys absent from the template
+        item=template,
+    )
+    return state.replace(**restored)
+
+
 def get_latest_checkpoint(folder: str) -> Optional[str]:
     """`get_latest_checkpoint` parity (`utils/utils.py:120-137`): prefer the
     ``model_ckpt_latest`` dir, else the highest-numbered periodic one."""

@@ -1,0 +1,88 @@
+"""Quantitative retrieval evaluation — parity with
+`/root/reference/experiments/DualViewHair/scripts/quantitative_eval.py:161-236`:
+benchmark JSON → Recall@K + mAP@K (K ∈ {10, 20, 50}) + top-100 result JSON
+in the Visualizer schema. The FAISS index is replaced by the on-device
+GalleryIndex (one matmul + top-k).
+
+CLI: python -m hairci.experiments.dualview.quantitative_eval \
+        --db_path ... --benchmark ... --out log_json/model_top100_results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from typing import Callable, Dict, List, Sequence
+
+import numpy as np
+
+from hairci.eval.retrieval_metrics import (
+    load_benchmark,
+    recall_map_at_k,
+    save_top100_results,
+)
+from hairci.retrieval.index import GalleryIndex
+
+log = logging.getLogger(__name__)
+
+
+def evaluate(
+    index: GalleryIndex,
+    embed_query: Callable[[str], np.ndarray],
+    benchmark: List[Dict],
+    database_root: str,
+    ks: Sequence[int] = (10, 20, 50),
+    out_json: str = "log_json/dualviewhair_top100_results.json",
+) -> Dict:
+    """Runs the benchmark; query names are mapped `<x>.jpg → <x>_hair.png`
+    like the reference (`quantitative_eval.py:170-171`)."""
+    queries, retrieved, gts = [], [], []
+    for item in benchmark:
+        qname = os.path.basename(item["query_image"])[:-4] + "_hair.png"
+        qpath = os.path.join(database_root, qname)
+        if not os.path.exists(qpath):
+            log.warning("missing query %s", qpath)
+            continue
+        gt = [os.path.basename(g)[:-4] + "_hair.png"
+              for g in item["ground_truth"]]
+        feat = embed_query(qpath)
+        _, paths = index.search_paths(feat[None], max(100, max(ks)))
+        names = [os.path.basename(p) for p in paths[0]]
+        queries.append(qname)
+        retrieved.append(names)
+        gts.append(gt)
+    results = recall_map_at_k(retrieved, gts, ks)
+    save_top100_results(queries, retrieved, out_json)
+    for k in ks:
+        log.info("mAP@%d: %.4f  R@%d: %.4f", k, results["mAP"][k], k,
+                 results["Recall"][k])
+    return results
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--db_path", required=True,
+                   help="database image folder (hair crops)")
+    p.add_argument("--benchmark", required=True, help="benchmark JSON")
+    p.add_argument("--ckpt_path", default=None)
+    p.add_argument("--embed_dir", default="save/dualview_embeddings")
+    p.add_argument("--out", default="log_json/dualviewhair_top100_results.json")
+    args = p.parse_args(argv)
+
+    from hairci.retrieval.encoders import HairEncoder
+
+    enc = HairEncoder(args.ckpt_path, batch_size=64)
+    if enc.embeddings_exist(args.embed_dir):
+        index = enc.load_embeddings(args.embed_dir)
+    else:
+        index = enc.extract_dataset_features(args.db_path, args.embed_dir)
+    bench = load_benchmark(args.benchmark)
+    evaluate(index, enc.encode_single_image, bench, args.db_path,
+             out_json=args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,21 +1,17 @@
-"""Headline benchmark: embed throughput (images/sec/chip) of the flagship
-backbone (ResNet-50, bf16, eval transform on device) — the metric named in
-BASELINE.json ("images/sec/chip embed throughput").
+"""Benchmarks on the real TPU chip. Prints ONE JSON line (headline =
+ResNet-50 embed throughput, the metric named in BASELINE.json); SimCLR
+train-step throughput and retrieval query latency go to stderr.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Methodology (axon relay backend): `block_until_ready()` does not block and
+per-dispatch latency is ~seconds, so every measured loop runs INSIDE one
+jitted `lax.scan` with a data dependency between iterations, and fixed
+dispatch overhead is removed by differencing two iteration counts
+(.claude/skills/verify/SKILL.md).
 
-Methodology notes (axon relay backend): `block_until_ready()` does not block
-and per-dispatch latency is ~seconds, so the iteration loop runs INSIDE one
-jitted `lax.scan` with a data dependency between iterations (the scalar sum
-of each batch's features perturbs the next batch's input by +0.0), and the
-fixed dispatch overhead is removed by differencing two iteration counts.
-
-vs_baseline: the reference never measures throughput (BASELINE.md,
-"published": {}), so the denominator is a documented estimate of the
-reference PyTorch pipeline's per-GPU ResNet-50 fp16 inference throughput on
-an A100-class device (~2200 img/s). The driver's north-star target is
-vs_baseline >= 5.
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+denominator is a documented estimate of the PyTorch reference pipeline's
+ResNet-50 fp16 inference throughput on an A100-class GPU (~2200 img/s).
+North-star target: vs_baseline >= 5.
 """
 
 from __future__ import annotations
@@ -30,28 +26,38 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_EMBED_IPS = 2200.0
+BASELINE_TRAIN_IPS = 800.0   # A100 torch SimCLR RN50 fwd+bwd estimate
 BATCH = 256
-ITERS_SMALL = 2
-ITERS_LARGE = 12
 
 
-def main() -> None:
+def _timed(run, small, large):
+    for it in (small, large):
+        t0 = time.perf_counter()
+        run(it)
+        print(f"  compile+run iters={it}: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+    t_small = min(_t(run, small) for _ in range(2))
+    t_large = _t(run, large)
+    return (t_large - t_small) / (large - small)
+
+
+def _t(run, it):
+    t0 = time.perf_counter()
+    run(it)
+    return time.perf_counter() - t0
+
+
+def bench_embed(recipe, images) -> float:
     from hairci.aug.pipelines import knn_transform
-    from hairci.ssl import build_recipe
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-    recipe = build_recipe(
-        "simclr", backbone="resnet50", img_size=224, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    images_host = rng.integers(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8)
-    state = recipe.create_state(jax.random.key(0), jnp.asarray(images_host[:8]))
+    state = recipe.create_state(jax.random.key(0), images[:8])
 
     @partial(jax.jit, static_argnames="iters")
-    def embed_loop(params, batch_stats, imgs, iters):
+    def loop(params, batch_stats, imgs, iters):
         x0 = knn_transform(imgs)
 
         def body(carry, _):
-            x = x0 + carry * 0.0  # serialize iterations without changing values
+            x = x0 + carry * 0.0
             feats = recipe.module.apply(
                 {"params": params, "batch_stats": batch_stats},
                 x, train=False, method=recipe.module.extract_features)
@@ -60,34 +66,98 @@ def main() -> None:
         carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return carry
 
-    imgs = jnp.asarray(images_host)
+    def run(it):
+        return float(loop(state.params, state.batch_stats, images, it))
 
-    def run(iters):
-        t0 = time.perf_counter()
-        val = float(embed_loop(state.params, state.batch_stats, imgs, iters))
-        return time.perf_counter() - t0, val
+    per_iter = _timed(run, 2, 12)
+    return BATCH / per_iter
 
-    # compile both variants
-    for it in (ITERS_SMALL, ITERS_LARGE):
-        dt, _ = run(it)
-        print(f"compile+run iters={it}: {dt:.1f}s", file=sys.stderr)
 
-    t_small, _ = run(ITERS_SMALL)
-    t_large, val = run(ITERS_LARGE)
-    per_iter = (t_large - t_small) / (ITERS_LARGE - ITERS_SMALL)
-    assert np.isfinite(val), "non-finite features"
+def bench_train(recipe, images) -> float:
+    state = recipe.create_state(jax.random.key(0), images[:8])
+
+    @partial(jax.jit, static_argnames="iters")
+    def loop(state, imgs, iters):
+        def body(carry, i):
+            st, _ = carry
+            st, metrics = recipe.train_step(
+                st, {"image": imgs}, jax.random.fold_in(jax.random.key(0), i))
+            return (st, metrics["loss"]), ()
+
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jnp.arange(iters))
+        return loss
+
+    def run(it):
+        return float(loop(state, images, it))
+
+    per_iter = _timed(run, 1, 6)
+    return BATCH / per_iter
+
+
+def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
+                        k: int = 5) -> float:
+    from hairci.ops.topk_pallas import topk_gallery_search
+
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(n_gallery, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[:1].copy()
+    gj, qj = jnp.asarray(g), jnp.asarray(q)
+
+    @partial(jax.jit, static_argnames="iters")
+    def loop(q, g, iters):
+        def body(carry, _):
+            s, _ = topk_gallery_search(q + carry * 0.0, g, k=k)
+            return jnp.sum(s), ()
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return carry
+
+    def run(it):
+        return float(loop(qj, gj, it))
+
+    return _timed(run, 2, 22)
+
+
+def main() -> None:
+    from hairci.ssl import build_recipe
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
     n_chips = max(jax.device_count(), 1)
-    ips = BATCH / per_iter / n_chips
-    print(
-        f"embed: {ips:.1f} img/s/chip ({per_iter*1e3:.2f} ms/batch of {BATCH};"
-        f" fixed overhead {t_small - ITERS_SMALL*per_iter:.2f}s)",
-        file=sys.stderr)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8))
+    recipe = build_recipe(
+        "simclr", backbone="resnet50", img_size=224, dtype=jnp.bfloat16)
+
+    print("[embed]", file=sys.stderr)
+    embed_ips = bench_embed(recipe, images) / n_chips
+    print(f"embed: {embed_ips:.1f} img/s/chip "
+          f"({embed_ips/BASELINE_EMBED_IPS:.2f}x est. reference)",
+          file=sys.stderr)
+
+    print("[simclr train step]", file=sys.stderr)
+    train_ips = bench_train(recipe, images) / n_chips
+    print(f"train: {train_ips:.1f} img/s/chip "
+          f"({train_ips/BASELINE_TRAIN_IPS:.2f}x est. reference)",
+          file=sys.stderr)
+
+    print("[retrieval query latency, 100k x 512 gallery]", file=sys.stderr)
+    lat = bench_query_latency()
+    print(f"query p50 (device): {lat*1e3:.2f} ms", file=sys.stderr)
 
     print(json.dumps({
         "metric": "resnet50_embed_throughput",
-        "value": round(ips, 1),
+        "value": round(embed_ips, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_EMBED_IPS, 3),
+        "vs_baseline": round(embed_ips / BASELINE_EMBED_IPS, 3),
+        "extra": {
+            "simclr_train_images_per_sec_per_chip": round(train_ips, 1),
+            "simclr_train_vs_baseline": round(
+                train_ips / BASELINE_TRAIN_IPS, 3),
+            "query_p50_ms_100k_gallery": round(lat * 1e3, 2),
+        },
     }))
 
 

@@ -68,7 +68,25 @@ def recipe_for_eval(args):
 
 def load_state(recipe, args, sample):
     state = recipe.create_state(jax.random.key(args.seed), sample)
-    if args.checkpoint_path:
+    if args.checkpoint_path and args.checkpoint_path.endswith((".pth", ".pt")):
+        # reference-trained torch checkpoint → converted weights
+        from hairci.retrieval.torch_import import (
+            convert_sham2,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(args.checkpoint_path)
+        if args.mode == "SHAM":
+            params, stats = convert_sham2(sd, args.model)
+            state = state.replace(params=params, batch_stats=stats,
+                                  ema_params=params, ema_batch_stats=stats)
+        else:
+            raise SystemExit(
+                f"torch import for mode {args.mode} not wired; convert with "
+                "hairci.retrieval.torch_import manually")
+        logging.info("torch checkpoint converted from %s",
+                     args.checkpoint_path)
+    elif args.checkpoint_path:
         state = ckpt_lib.restore_params_only(args.checkpoint_path, state)
         logging.info("checkpoint loaded from %s", args.checkpoint_path)
     else:

@@ -36,16 +36,19 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit torch-style symmetric padding: XLA "SAME" pads
+        # asymmetrically for stride 2 on even inputs, which would break
+        # torch-checkpoint parity (window alignment differs)
         residual = x
-        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = self.conv(self.filters, (3, 3), self.strides,
+                      padding=[(1, 1), (1, 1)])(x)
         y = self.norm()(y)
         y = self.act(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
-            residual = self.conv(self.filters, (1, 1), self.strides, name="conv_proj")(
-                residual
-            )
+            residual = self.conv(self.filters, (1, 1), self.strides,
+                                 padding="VALID", name="conv_proj")(residual)
             residual = self.norm(name="norm_proj")(residual)
         return self.act(residual + y)
 
@@ -60,17 +63,20 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (1, 1))(x)
+        y = self.conv(self.filters, (1, 1), padding="VALID")(x)
         y = self.norm()(y)
         y = self.act(y)
-        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        # torchvision v1.5 puts the stride on the 3x3 conv
+        y = self.conv(self.filters, (3, 3), self.strides,
+                      padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         y = self.act(y)
-        y = self.conv(self.filters * 4, (1, 1))(y)
+        y = self.conv(self.filters * 4, (1, 1), padding="VALID")(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(
-                self.filters * 4, (1, 1), self.strides, name="conv_proj"
+                self.filters * 4, (1, 1), self.strides, padding="VALID",
+                name="conv_proj",
             )(residual)
             residual = self.norm(name="norm_proj")(residual)
         return self.act(residual + y)

@@ -175,6 +175,14 @@ def positive_transform(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def negative_transform(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+    """`negative_transform` (`transform.py:26-30`, unused in the reference's
+    main path but part of its surface): hflip + very mild color jitter."""
+    k1, k2 = jax.random.split(key)
+    x = ops.random_hflip(k1, x, p=0.5)
+    return ops.color_jitter(k2, x, 0.1, 0.1, 0.1, 0.02, p=1.0)
+
+
 def positive_masking_transform(
     key: jax.Array, x: jnp.ndarray, patch_size: int = 32,
     mask_ratio_range: Tuple[float, float] = (0.1, 0.2),

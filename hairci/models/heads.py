@@ -128,6 +128,21 @@ class Prototypes(nn.Module):
         return jnp.einsum("bd,kd->bk", z, w, preferred_element_type=jnp.float32)
 
 
+class PermuteBN(nn.Module):
+    """Token-axis BatchNorm in f32 (`backbone.py:1202-1215` PermuteBN:
+    N,L,C → BN over C → N,L,C). In NHWC-free token layout this is BatchNorm
+    over the (batch, token) axes per channel."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, axis=-1,
+                         axis_name=None)(x)
+        return x.astype(orig_dtype)
+
+
 class RankingHeadMLP(nn.Module):
     """Scores an (anchor, candidate) embedding pair (reference
     `main_backbone.py:166-196` RankingHeadMLP)."""

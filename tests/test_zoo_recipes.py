@@ -133,3 +133,16 @@ def test_siameseim_relative_pos_identity():
     shifted = jnp.asarray([[32.0, 0.0, 64.0, 64.0]])
     rel_shift = relative_pos_embed(boxes, shifted, grid=4, dim=64)
     assert not np.allclose(np.asarray(rel_same), np.asarray(rel_shift))
+
+
+@pytest.mark.parametrize("mode", ["embedding", "reconstruction"])
+def test_sham_v1_recipe(mode):
+    r = build_recipe("SHAM_v1", backbone="vit_tiny_patch16", img_size=IMG,
+                     sham_mode=mode, transform=pipelines.simclr_transform(IMG),
+                     dtype=jnp.float32)
+    state, m = _run_steps(r, {"image": _images()})
+    assert np.isfinite(float(m["loss"]))
+    assert {"global_loss", "local_loss"} <= set(m)
+    if mode == "reconstruction":
+        assert "recon_loss" in m
+    assert r.extract_features(state, _images()).shape == (4, 192)

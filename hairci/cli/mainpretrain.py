@@ -38,7 +38,9 @@ def build_recipe_from_args(args, num_batches: int):
         return build_recipe(
             "SHAM", backbone=args.model, temperature=args.temp,
             ema_momentum=args.ema, warm_up_epochs=args.warm_up_epochs,
-            ablation=args.ablation, num_batches=num_batches, **common)
+            ablation=args.ablation, num_batches=num_batches,
+            s2r2_weight=1.0 if getattr(args, "S2R2", False) else 0.0,
+            **common)
     if mode in ("mae", "simMIM", "dinov2", "MSN", "DenseCL", "BYOL",
                 "simclr_supcon"):
         return build_recipe(mode, **common)

@@ -131,7 +131,11 @@ class SHAMRecipe:
         dtype: Any = jnp.float32,
         transform: Optional[MultiViewTransform] = None,
         mask_ratio_range: Tuple[float, float] = (0.1, 0.5),
+        s2r2_weight: float = 0.0,
     ):
+        # `--S2R2` adds the Smooth-AP regularizer; the reference constructs
+        # S2R2Loss(tau=0.01, k_views=3) for it (`pretrain_engine.py:99`) —
+        # the 3 views are [anchor; positive; negative]
         # Trainer instantiates PositiveMaskingTransform(mask_ratio_range=
         # (0.1, 0.5)) (`pretrain_engine.py:100`); fixed-margin ablations pin
         # both stages (`pretrain_engine.py:102-104`)
@@ -152,6 +156,7 @@ class SHAMRecipe:
         self.num_batches = num_batches
         self.img_size = img_size
         self.mask_ratio_range = tuple(mask_ratio_range)
+        self.s2r2_weight = s2r2_weight
         # SHAM uses the SimCLR two-view transform (`mainpretrain.py:130`)
         self.transform = transform or simclr_transform(img_size)
         self.tx = make_optimizer(learning_rate, weight_decay, betas,
@@ -266,6 +271,12 @@ class SHAMRecipe:
             else:
                 total = (contrastive + self.triplet_w * triplet
                          + self.mse_w * mse)
+            if self.s2r2_weight > 0:
+                from hairci.losses import s2r2_loss
+
+                emb = jnp.concatenate([anchor_b, pos_b, neg_b], axis=0)
+                total = total + self.s2r2_weight * s2r2_loss(
+                    emb, tau=0.01, k_views=3)
 
             pos_d, neg_d, violations = margin_violation_stats(
                 jax.lax.stop_gradient(anchor_b),

@@ -122,3 +122,20 @@ def test_sham_extract_features():
     fe = recipe.extract_features_ema(state, images)
     assert f.shape == (4, 512) and fe.shape == (4, 512)
     np.testing.assert_allclose(np.asarray(f), np.asarray(fe), atol=1e-5)
+
+
+def test_sham_s2r2_regularizer():
+    recipe = _tiny_recipe(s2r2_weight=1.0)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (4, 48, 48, 3), dtype=np.uint8))
+    state = recipe.create_state(jax.random.key(0), images)
+    step = jax.jit(recipe.train_step, static_argnames="stage")
+    _, m = step(state, {"image": images}, jax.random.key(1), stage="warmup")
+    base = _tiny_recipe()
+    state2 = base.create_state(jax.random.key(0), images)
+    step2 = jax.jit(base.train_step, static_argnames="stage")
+    _, m2 = step2(state2, {"image": images}, jax.random.key(1),
+                  stage="warmup")
+    # same weights+rng → s2r2 adds a nonzero term to the total
+    assert float(m["loss"]) != float(m2["loss"])
+    assert np.isfinite(float(m["loss"]))

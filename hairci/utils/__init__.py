@@ -4,3 +4,5 @@ from hairci.utils.config import (
     parse_pretrain_args,
 )
 from hairci.utils.seeding import set_seed
+from hairci.utils.metrics import MetricLogger, SmoothedValue, label_smoothing_cross_entropy
+from hairci.utils import profiling

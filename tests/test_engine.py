@@ -153,3 +153,31 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(l0, l1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt_lib.get_latest_checkpoint(str(tmp_path)) == path
+
+
+def test_grain_loader(dataset_dir):
+    pytest.importorskip("grain")
+    from hairci.data.grain_loader import GrainLoader
+    from hairci.data import load_manifest
+
+    csv, img_dir = dataset_dir
+    m = load_manifest(csv, img_dir)
+    loader = GrainLoader(m, batch_size=4, size=32, num_workers=0,
+                         drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    for images, labels in batches:
+        assert images.shape == (4, 32, 32, 3) and images.dtype == np.uint8
+        assert labels.shape == (4,)
+    # epoch advance reshuffles
+    l1 = np.concatenate([b[1] for b in batches])
+    l2 = np.concatenate([b[1] for b in list(loader)])
+    assert not np.array_equal(l1, l2)
+    # multi-host sharding splits the data
+    s0 = GrainLoader(m, batch_size=2, size=32, num_workers=0,
+                     shard_index=0, shard_count=2)
+    s1 = GrainLoader(m, batch_size=2, size=32, num_workers=0,
+                     shard_index=1, shard_count=2)
+    n0 = sum(b[0].shape[0] for b in s0)
+    n1 = sum(b[0].shape[0] for b in s1)
+    assert n0 == n1 == 6

@@ -43,3 +43,18 @@ def test_pallas_topk_tie_breaking(rng):
     # top-1 = the lower-index duplicate (self), top-2 = the higher duplicate
     np.testing.assert_array_equal(i[:, 0], np.arange(4))
     np.testing.assert_array_equal(i[:, 1], np.arange(4) + 10)
+
+
+def test_pallas_topk_bf16_ranking(rng):
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    g = rng.normal(size=(200, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    s32, i32 = topk_gallery_search(jnp.asarray(q), jnp.asarray(g), k=5,
+                                   chunk=64, interpret=True)
+    s16, i16 = topk_gallery_search(jnp.asarray(q), jnp.asarray(g), k=5,
+                                   chunk=64, interpret=True, bf16=True)
+    # top-1 agrees on random (well-separated) data; scores close
+    np.testing.assert_array_equal(np.asarray(i32)[:, 0],
+                                  np.asarray(i16)[:, 0])
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=0.02)

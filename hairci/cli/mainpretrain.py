@@ -62,6 +62,7 @@ def main(argv=None) -> None:
     loader = DataLoader(
         manifest, batch_size=args.batch_size, size=raw_size,
         mode="raw_resize", shuffle=True, drop_last=drop_last,
+        pad_last=not drop_last,  # static shapes under jit/sharding
         seed=args.seed, num_workers=args.num_workers)
     recipe = build_recipe_from_args(args, num_batches=len(loader))
     trainer = Trainer(recipe, loader, args)

@@ -91,7 +91,11 @@ class DataLoader:
         seed: int = 42,
         num_workers: int = 8,
         prefetch: int = 4,
+        pad_last: bool = False,
     ):
+        # pad_last: repeat-pad the final partial batch to the full batch
+        # size — required under jit/sharding where batch shape is static
+        # (the reference's drop_last=False path yields a ragged last batch)
         self.manifest = manifest
         self.batch_size = batch_size
         self.size = size
@@ -101,6 +105,7 @@ class DataLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.pad_last = pad_last
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -128,9 +133,11 @@ class DataLoader:
             return None
         images = np.stack([arrs[i] for i in good])
         labels = self.manifest.label_indices[indices[good]]
-        if len(good) < len(indices):
-            # pad back to full batch by repeating rows (keeps shapes static)
-            pad = len(indices) - len(good)
+        target = self.batch_size if self.pad_last else len(indices)
+        if images.shape[0] < target:
+            # pad to a static shape by repeating rows (decode failures, or
+            # the final partial batch when pad_last)
+            pad = target - images.shape[0]
             images = np.concatenate([images, images[-1:].repeat(pad, 0)])
             labels = np.concatenate([labels, labels[-1:].repeat(pad)])
         return images, labels

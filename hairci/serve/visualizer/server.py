@@ -31,10 +31,28 @@ log = logging.getLogger(__name__)
 
 def render_index(api: RetrievalAPI, dataset: Optional[str],
                  query: Optional[str], models) -> str:
-    """Minimal HTML equivalent of the Jinja2 `index.html`: query vs top-100
-    grids for ≤2 models with hit/miss coloring + stats."""
+    """Render via the Jinja2 templates (parity with the reference's
+    `templates/index.html`+`base.html`); inline-HTML fallback when jinja2
+    is absent."""
     datasets = api.benchmarks()
     dataset = dataset or (datasets[0] if datasets else None)
+    try:
+        import jinja2
+
+        env = jinja2.Environment(
+            loader=jinja2.PackageLoader("hairci.serve.visualizer",
+                                        "templates"),
+            autoescape=True)
+        env.filters["urlencode"] = urllib.parse.quote
+        queries = api.queries(dataset) if dataset else []
+        query = query or (queries[0] if queries else None)
+        result = (api.get_query_result(dataset, query, models)
+                  if dataset and query else None)
+        return env.get_template("index.html").render(
+            datasets=datasets, dataset=dataset, queries=queries[:500],
+            query=query, result=result)
+    except ImportError:
+        pass
     parts = ["<html><head><title>Hair Retrieval Visualizer</title>",
              "<style>.hit{border:3px solid #2a2}.miss{border:3px solid #c33}"
              "img{width:96px;height:96px;object-fit:cover;margin:2px}"

@@ -127,6 +127,12 @@ class Trainer:
         base_key = jax.random.key(getattr(args, "seed", 42))
         total_k = getattr(args, "k", 7)
 
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                f"train loader is empty: {len(self.train_loader.manifest)} "
+                f"samples with batch_size={args.batch_size} and "
+                f"drop_last={getattr(self.train_loader, 'drop_last', '?')}")
+
         # init/restore from a zeros sample of the static batch shape
         raw = getattr(self.train_loader, "size", getattr(args, "size", 224))
         sample = jnp.zeros((args.batch_size, raw, raw, 3), jnp.uint8)

@@ -52,10 +52,15 @@ class GalleryIndex:
 
     def __init__(self, embeddings: np.ndarray, paths: Sequence[str],
                  normalized: bool = False, chunk: int = 65536,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 storage_dtype=jnp.float32):
+        """storage_dtype=jnp.bfloat16 halves HBM for large galleries (1M x
+        512 → 1 GB); scores still accumulate in f32 so only the 3rd decimal
+        of the cosine moves."""
         emb = jnp.asarray(embeddings, jnp.float32)
         if not normalized:
             emb = l2_normalize(emb)
+        emb = emb.astype(storage_dtype)
         self.embeddings = emb
         self.paths = list(paths)
         self.chunk = chunk
@@ -117,8 +122,9 @@ class GalleryIndex:
     def save(self, out_dir: str, prefix: str = "") -> None:
         """`embeddings.npy` + `image_paths.txt` (hair_encoder.py:131-142)."""
         os.makedirs(out_dir, exist_ok=True)
+        # persist in f32 regardless of storage dtype (npy bf16 portability)
         np.save(os.path.join(out_dir, f"{prefix}embeddings.npy"),
-                np.asarray(self.embeddings))
+                np.asarray(self.embeddings.astype(jnp.float32)))
         with open(os.path.join(out_dir, f"{prefix}image_paths.txt"), "w") as f:
             f.write("\n".join(self.paths) + "\n")
 

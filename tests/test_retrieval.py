@@ -158,3 +158,17 @@ def test_face_vit_overlapping_patches():
     variables = model.init(jax.random.key(0), x)
     emb = model.apply(variables, x)
     assert emb.shape == (2, 64)
+
+
+def test_gallery_index_bf16_storage(rng):
+    import jax.numpy as jnp
+
+    emb = rng.normal(size=(64, 16)).astype(np.float32)
+    f32 = GalleryIndex(emb, [str(i) for i in range(64)])
+    b16 = GalleryIndex(emb, [str(i) for i in range(64)],
+                       storage_dtype=jnp.bfloat16)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    s1, i1 = f32.search(q, k=3)
+    s2, i2 = b16.search(q, k=3)
+    np.testing.assert_array_equal(i1[:, 0], i2[:, 0])  # top-1 stable
+    np.testing.assert_allclose(s1, s2, atol=0.02)

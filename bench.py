@@ -102,13 +102,19 @@ def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
     rng = np.random.default_rng(0)
     g = rng.normal(size=(n_gallery, d)).astype(np.float32)
     g /= np.linalg.norm(g, axis=1, keepdims=True)
+    # pre-pad to the kernel chunk multiple like GalleryIndex does — padding
+    # per call would re-materialize the gallery and dominate the timing
+    n_pad = (n_gallery + 1023) // 1024 * 1024
+    gp = np.zeros((n_pad, d), np.float32)
+    gp[:n_gallery] = g
     q = g[:1].copy()
-    gj, qj = jnp.asarray(g), jnp.asarray(q)
+    gj, qj = jnp.asarray(gp), jnp.asarray(q)
 
     @partial(jax.jit, static_argnames="iters")
     def loop(q, g, iters):
         def body(carry, _):
-            s, _ = topk_gallery_search(q + carry * 0.0, g, k=k)
+            s, _ = topk_gallery_search(q + carry * 0.0, g, k=k,
+                                       n_valid=n_gallery)
             return jnp.sum(s), ()
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)

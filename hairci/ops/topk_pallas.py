@@ -90,8 +90,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "chunk", "interpret", "bf16"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "chunk", "interpret", "bf16", "n_valid"))
 def topk_gallery_search(
     queries: jnp.ndarray,   # (Q, D) L2-normalized
     gallery: jnp.ndarray,   # (N, D) L2-normalized
@@ -99,6 +100,7 @@ def topk_gallery_search(
     chunk: int = 1024,
     interpret: bool = False,
     bf16: bool = False,
+    n_valid: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(scores (Q, k), indices (Q, k)) — fused streaming search.
 
@@ -107,16 +109,26 @@ def topk_gallery_search(
     lose ~3 decimal digits, ranking of well-separated galleries unchanged.
     """
     Q, D = queries.shape
-    N = gallery.shape[0]
+    # n_valid: true row count when the gallery arrives pre-padded
+    N = gallery.shape[0] if n_valid is None else n_valid
     k = min(k, N)
     Qp = _round_up(Q, 8)
     Dp = _round_up(D, 128)
-    Np = _round_up(N, chunk)
+    Np = _round_up(gallery.shape[0], chunk)
     g_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    q = jnp.zeros((Qp, Dp), g_dtype).at[:Q, :D].set(
-        queries.astype(g_dtype))
-    g = jnp.zeros((Np, Dp), g_dtype).at[:N, :D].set(
-        gallery.astype(g_dtype))
+    # pad ONLY when needed: re-materializing an already-aligned gallery
+    # costs a full HBM round-trip per call (≈25x the kernel itself at 500k
+    # rows) — align once at index build (GalleryIndex pads on init)
+    if (Qp, Dp) == (Q, D) and queries.dtype == g_dtype:
+        q = queries
+    else:
+        q = jnp.zeros((Qp, Dp), g_dtype).at[:Q, :D].set(
+            queries.astype(g_dtype))
+    if (Np, Dp) == gallery.shape and gallery.dtype == g_dtype:
+        g = gallery
+    else:
+        g = jnp.zeros((Np, Dp), g_dtype).at[:gallery.shape[0], :D].set(
+            gallery.astype(g_dtype))
     n_chunks = Np // chunk
     nvalid = jnp.asarray([N], jnp.int32)
 

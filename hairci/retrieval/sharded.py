@@ -43,6 +43,7 @@ def sharded_gallery_search(
     shard_rows = N // n_shards
     k = min(k, shard_rows)
 
+    # idempotent placement: already-placed arrays are passed through
     gallery = jax.device_put(
         gallery, NamedSharding(mesh, P(DATA_AXIS, None)))
     queries = jax.device_put(queries, NamedSharding(mesh, P()))
@@ -90,7 +91,10 @@ class ShardedGalleryIndex:
         pad = (-self.n) % n_shards
         if pad:
             emb = jnp.pad(emb, ((0, pad), (0, 0)))  # zero rows score 0 < 1
-        self.embeddings = emb
+        # place the gallery on the mesh ONCE (per-call device_put would
+        # re-ship the gallery over ICI every search)
+        self.embeddings = jax.device_put(
+            emb, NamedSharding(mesh, P(DATA_AXIS, None)))
         self.paths = list(paths)
 
     def __len__(self) -> int:

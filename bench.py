@@ -30,15 +30,15 @@ BASELINE_TRAIN_IPS = 800.0   # A100 torch SimCLR RN50 fwd+bwd estimate
 BATCH = 256
 
 
-def _timed(run, small, large):
+def _timed(run, small, large, repeats: int = 2):
     for it in (small, large):
         t0 = time.perf_counter()
         run(it)
         print(f"  compile+run iters={it}: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
-    t_small = min(_t(run, small) for _ in range(2))
-    t_large = _t(run, large)
-    return (t_large - t_small) / (large - small)
+    t_small = min(_t(run, small) for _ in range(repeats))
+    t_large = min(_t(run, large) for _ in range(repeats))
+    return max((t_large - t_small) / (large - small), 0.0)
 
 
 def _t(run, it):
@@ -123,7 +123,9 @@ def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
     def run(it):
         return float(loop(qj, gj, it))
 
-    return _timed(run, 2, 22)
+    # sub-0.1ms searches need many iterations to rise above the relay's
+    # wall-clock jitter
+    return _timed(run, 10, 2010, repeats=3)
 
 
 def main() -> None:

@@ -70,16 +70,37 @@ def load_state(recipe, args, sample):
     state = recipe.create_state(jax.random.key(args.seed), sample)
     if args.checkpoint_path and args.checkpoint_path.endswith((".pth", ".pt")):
         # reference-trained torch checkpoint → converted weights
-        from hairci.retrieval.torch_import import (
-            convert_sham2,
-            load_torch_state_dict,
-        )
+        # (per-mode formats mirror `knn_classification.py:124-189`)
+        from hairci.retrieval import torch_import as ti
 
-        sd = load_torch_state_dict(args.checkpoint_path)
+        sd = ti.load_torch_state_dict(args.checkpoint_path)
         if args.mode == "SHAM":
-            params, stats = convert_sham2(sd, args.model)
+            params, stats = ti.convert_sham2(sd, args.model)
             state = state.replace(params=params, batch_stats=stats,
                                   ema_params=params, ema_batch_stats=stats)
+        elif args.mode == "simclr":
+            params, stats = ti.convert_simclr(sd, args.model)
+            state = state.replace(params=params, batch_stats=stats)
+        elif args.mode == "simclr_supcon":
+            params, stats = ti.convert_supcon(sd, args.model)
+            state = state.replace(params=params, batch_stats=stats)
+        elif args.mode == "mae":
+            params, _ = ti.convert_mae(sd)
+            state = state.replace(params=params)
+        elif args.mode == "simMIM":
+            params, _ = ti.convert_simmim(sd)
+            state = state.replace(params=params)
+        elif args.mode == "MSN":
+            params, stats, emap, emas = ti.convert_msn(sd)
+            state = state.replace(params=params, batch_stats=stats,
+                                  ema_params=emap, ema_batch_stats=emas)
+        elif args.mode == "DenseCL":
+            params, stats, emap, emas = ti.convert_densecl(sd)
+            state = state.replace(params=params, batch_stats=stats,
+                                  ema_params=emap, ema_batch_stats=emas)
+        elif args.mode == "dinov2":
+            params, emap = ti.convert_dinov2(sd)
+            state = state.replace(params=params, ema_params=emap)
         else:
             raise SystemExit(
                 f"torch import for mode {args.mode} not wired; convert with "

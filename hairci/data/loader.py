@@ -152,8 +152,10 @@ class DataLoader:
         _SENTINEL = object()
 
         def producer():
-            # decode pool is used ONLY from this thread (no nested submits)
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # decode pool is used ONLY from this thread (no nested submits);
+            # num_workers=0 = synchronous decode (torch DataLoader semantics)
+            with ThreadPoolExecutor(
+                    max_workers=max(self.num_workers, 1)) as pool:
                 for idxs in batches:
                     out_q.put(self._load_batch(idxs, pool))
             out_q.put(_SENTINEL)

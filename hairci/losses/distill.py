@@ -115,14 +115,18 @@ def ibot_patch_loss(
 
 def koleo_loss(z: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Kozachenko-Leonenko differential-entropy regularizer (DINOv2):
-    -mean(log(min distance to another sample))."""
+    -mean(log(min distance to another sample)).
+
+    Computed as -0.5·mean(log(d² + eps)) — log(sqrt(d²)) has an infinite
+    gradient at d=0 (NaNs at init when two embeddings coincide, seen when
+    driving the dinov2 CLI); the squared form is smooth everywhere."""
     z = _normalize(z, eps)
     sim = jnp.einsum("id,jd->ij", z, z, preferred_element_type=jnp.float32)
     B = z.shape[0]
     sim = sim - 2.0 * jnp.eye(B, dtype=sim.dtype)  # exclude self
     nn_sim = jnp.max(sim, axis=1)
-    dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * nn_sim, 0.0))
-    return -jnp.mean(jnp.log(dist + eps))
+    d2 = jnp.maximum(2.0 - 2.0 * nn_sim, 0.0)
+    return -0.5 * jnp.mean(jnp.log(d2 + eps))
 
 
 # ---------------------------------------------------------------------------

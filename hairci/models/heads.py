@@ -19,26 +19,31 @@ import jax.numpy as jnp
 
 
 class MLPHead(nn.Module):
-    """Stack of (Dense [BN] [ReLU]) blocks.
+    """Stack of (Dense [BN] [act]) blocks.
 
-    ``layers``: sequence of (out_dim, use_bn, use_relu).
+    ``layers``: sequence of (out_dim, use_bn, use_act).
+    ``act``: activation for layers with use_act ("relu" or "gelu" — lightly's
+    MSN/DINO heads use GELU, the SimCLR/BYOL heads ReLU).
     """
 
     layers: Sequence[Tuple[int, bool, bool]]
     dtype: Any = jnp.float32
+    act: str = "relu"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        act = nn.relu if self.act == "relu" else (
+            lambda v: nn.gelu(v, approximate=False))
         x = x.astype(self.dtype)
-        for i, (dim, use_bn, use_relu) in enumerate(self.layers):
+        for i, (dim, use_bn, use_act) in enumerate(self.layers):
             x = nn.Dense(dim, use_bias=not use_bn, dtype=self.dtype,
                          name=f"dense{i}")(x)
             if use_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name=f"bn{i}")(x)
-            if use_relu:
-                x = nn.relu(x)
+            if use_act:
+                x = act(x)
         return x.astype(jnp.float32)
 
 
@@ -97,9 +102,9 @@ class DINOHead(nn.Module):
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=True)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(x)
-        x = nn.gelu(x, approximate=True)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.bottleneck, dtype=self.dtype, name="fc3")(x)
         x = x.astype(jnp.float32)
         x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)

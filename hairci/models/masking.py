@@ -48,7 +48,10 @@ def random_block_mask(
     iterative BlockwiseMaskGenerator: identical statistics class (contiguous
     square blocks), fully vectorized.
     """
-    coarse = max(grid // block, 1)
+    # small grids: shrink blocks so the coarse grid keeps >=2 cells per side
+    # (otherwise the k>=1 floor masks everything)
+    block = max(min(block, grid // 2), 1)
+    coarse = max(-(-grid // block), 1)  # ceil: cover grids not divisible
     scores = jax.random.uniform(key, (batch, coarse, coarse))
     k = max(int(round(mask_ratio * coarse * coarse)), 1)
     thresh = jnp.sort(scores.reshape(batch, -1), axis=1)[:, k - 1][:, None, None]

@@ -86,7 +86,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=True)
+        # exact erf GELU: timm/torchvision ViT MLPs use nn.GELU(default)
+        # (checkpoint-import parity; tanh-approx drifts up to ~3e-4)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -266,10 +268,20 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, ids_keep: Optional[jnp.ndarray] = None,
-                 train: bool = True, pool: bool = False):
+                 train: bool = True, pool: bool = False,
+                 token_mask: Optional[jnp.ndarray] = None):
+        """token_mask (B, N) bool: True positions get the learned mask token
+        substituted after patch embedding (iBOT/SimMIM-style corruption; the
+        MAE-style drop is ``ids_keep``)."""
         B = x.shape[0]
         tokens = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
                             name="patch_embed")(x.astype(self.dtype))
+        # always create the mask token so the param structure is static
+        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
+                                (1, 1, self.embed_dim))
+        if token_mask is not None:
+            tokens = jnp.where(token_mask[..., None],
+                               mask_token.astype(tokens.dtype), tokens)
         pos_embed = self.param(
             "pos_embed", self._pos_embed_init,
             (1, self.num_patches + 1, self.embed_dim),

@@ -120,38 +120,60 @@ def convert_resnet(sd: StateDict, stage_sizes=(2, 2, 2, 2),
     return params, stats
 
 
+def _sub(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    """Sub-state-dict under ``prefix`` (prefix stripped)."""
+    return {k[len(prefix):]: v for k, v in sd.items()
+            if k.startswith(prefix)}
+
+
+def _timm_block(sd: StateDict, t: str) -> dict:
+    """One timm ViT block (`blocks.N.` keys) → hairci Block params.
+    Picks up LayerScale (`ls1/ls2.gamma`, DINOv2's init_values ViTs) when
+    present."""
+    p = {
+        "norm1": {"scale": sd[f"{t}.norm1.weight"],
+                  "bias": sd[f"{t}.norm1.bias"]},
+        "norm2": {"scale": sd[f"{t}.norm2.weight"],
+                  "bias": sd[f"{t}.norm2.bias"]},
+        "attn": {
+            "qkv": {"kernel": _linear(sd[f"{t}.attn.qkv.weight"]),
+                    "bias": sd[f"{t}.attn.qkv.bias"]},
+            "proj": {"kernel": _linear(sd[f"{t}.attn.proj.weight"]),
+                     "bias": sd[f"{t}.attn.proj.bias"]},
+        },
+        "mlp": {
+            "fc1": {"kernel": _linear(sd[f"{t}.mlp.fc1.weight"]),
+                    "bias": sd[f"{t}.mlp.fc1.bias"]},
+            "fc2": {"kernel": _linear(sd[f"{t}.mlp.fc2.weight"]),
+                    "bias": sd[f"{t}.mlp.fc2.bias"]},
+        },
+    }
+    for ls in ("ls1", "ls2"):
+        if f"{t}.{ls}.gamma" in sd:
+            p[ls] = {"gamma": sd[f"{t}.{ls}.gamma"]}
+    return p
+
+
 def convert_vit(sd: StateDict, depth: int = 12,
                 global_pool: bool = False) -> Tuple[dict, dict]:
     """timm/reference ViT state_dict → params for
     hairci.models.vit.VisionTransformer."""
+    d_model = sd["cls_token"].reshape(1, 1, -1).shape[-1]
     params: Dict[str, dict] = {
         "cls_token": sd["cls_token"].reshape(1, 1, -1),
         "pos_embed": sd["pos_embed"],
+        # the hairci ViT always owns an iBOT/SimMIM mask token; zero when
+        # the torch checkpoint has none
+        "mask_token": sd.get("mask_token",
+                             np.zeros((1, 1, d_model), np.float32)
+                             ).reshape(1, 1, -1),
         "patch_embed": {"proj": {
             "kernel": _conv(sd["patch_embed.proj.weight"]),
             "bias": sd["patch_embed.proj.bias"],
         }},
     }
     for i in range(depth):
-        t = f"blocks.{i}"
-        params[f"block{i}"] = {
-            "norm1": {"scale": sd[f"{t}.norm1.weight"],
-                      "bias": sd[f"{t}.norm1.bias"]},
-            "norm2": {"scale": sd[f"{t}.norm2.weight"],
-                      "bias": sd[f"{t}.norm2.bias"]},
-            "attn": {
-                "qkv": {"kernel": _linear(sd[f"{t}.attn.qkv.weight"]),
-                        "bias": sd[f"{t}.attn.qkv.bias"]},
-                "proj": {"kernel": _linear(sd[f"{t}.attn.proj.weight"]),
-                         "bias": sd[f"{t}.attn.proj.bias"]},
-            },
-            "mlp": {
-                "fc1": {"kernel": _linear(sd[f"{t}.mlp.fc1.weight"]),
-                        "bias": sd[f"{t}.mlp.fc1.bias"]},
-                "fc2": {"kernel": _linear(sd[f"{t}.mlp.fc2.weight"]),
-                        "bias": sd[f"{t}.mlp.fc2.bias"]},
-            },
-        }
+        params[f"block{i}"] = _timm_block(sd, f"blocks.{i}")
     # the hairci ViT owns `norm` always and `fc_norm` when global_pool;
     # fill whichever the checkpoint lacks with an identity LN
     wanted = ["norm"] + (["fc_norm"] if global_pool else [])
@@ -198,3 +220,258 @@ def convert_sham2(sd: StateDict, model: str = "resnet18") -> Tuple[dict, dict]:
     params = {"backbone": bp, "projection_head": hp}
     stats = {"backbone": bs, "projection_head": hs}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# torchvision-layout ViT (SimMIM / MSN / ViTWrapper wrap
+# `torchvision.models.vit_b_16`; `backbone.py:92,558,614`)
+# ---------------------------------------------------------------------------
+
+def convert_torchvision_vit(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
+    """torchvision VisionTransformer state_dict → hairci VisionTransformer
+    params. Accepts both raw torchvision names (`class_token`,
+    `encoder.layers.encoder_layer_N.*`, `mlp.{0,3}`) and the older
+    `mlp.linear_{1,2}` naming."""
+    cls = sd.get("class_token", sd.get("cls_token"))
+    d_model = cls.reshape(1, 1, -1).shape[-1]
+    params: Dict[str, dict] = {
+        "cls_token": cls.reshape(1, 1, -1),
+        "pos_embed": sd.get("encoder.pos_embedding",
+                            sd.get("pos_embedding")),
+        "mask_token": sd.get("mask_token",
+                             np.zeros((1, 1, d_model), np.float32)
+                             ).reshape(1, 1, -1),
+        "patch_embed": {"proj": {
+            "kernel": _conv(sd["conv_proj.weight"]),
+            "bias": sd["conv_proj.bias"],
+        }},
+    }
+    for i in range(depth):
+        t = f"encoder.layers.encoder_layer_{i}"
+        fc1 = f"{t}.mlp.0" if f"{t}.mlp.0.weight" in sd else f"{t}.mlp.linear_1"
+        fc2 = f"{t}.mlp.3" if f"{t}.mlp.3.weight" in sd else f"{t}.mlp.linear_2"
+        params[f"block{i}"] = {
+            "norm1": {"scale": sd[f"{t}.ln_1.weight"],
+                      "bias": sd[f"{t}.ln_1.bias"]},
+            "norm2": {"scale": sd[f"{t}.ln_2.weight"],
+                      "bias": sd[f"{t}.ln_2.bias"]},
+            "attn": {
+                # nn.MultiheadAttention packs [q|k|v] rows like timm's qkv
+                "qkv": {"kernel": _linear(
+                            sd[f"{t}.self_attention.in_proj_weight"]),
+                        "bias": sd[f"{t}.self_attention.in_proj_bias"]},
+                "proj": {"kernel": _linear(
+                             sd[f"{t}.self_attention.out_proj.weight"]),
+                         "bias": sd[f"{t}.self_attention.out_proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": _linear(sd[f"{fc1}.weight"]),
+                        "bias": sd[f"{fc1}.bias"]},
+                "fc2": {"kernel": _linear(sd[f"{fc2}.weight"]),
+                        "bias": sd[f"{fc2}.bias"]},
+            },
+        }
+    params["norm"] = {"scale": sd["encoder.ln.weight"],
+                      "bias": sd["encoder.ln.bias"]}
+    return params, {}
+
+
+# ---------------------------------------------------------------------------
+# lightly MLP heads (flat nn.Sequential `layers.N` indexing)
+# ---------------------------------------------------------------------------
+
+def convert_lightly_mlp(sd: StateDict, prefix: str,
+                        linears, bns=None,
+                        names=None) -> Tuple[dict, dict]:
+    """lightly ProjectionHead `layers.N` Sequential → hairci MLPHead params.
+
+    ``linears``: Sequential indices of the Linear layers;
+    ``bns``: aligned BatchNorm1d indices (None where absent);
+    ``names``: target flax layer names (default dense{i}/bn{i})."""
+    bns = bns or [None] * len(linears)
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+    for i, (lin, bn) in enumerate(zip(linears, bns)):
+        name = names[i] if names else f"dense{i}"
+        p = {"kernel": _linear(sd[f"{prefix}layers.{lin}.weight"])}
+        if f"{prefix}layers.{lin}.bias" in sd:
+            p["bias"] = sd[f"{prefix}layers.{lin}.bias"]
+        params[name] = p
+        if bn is not None and f"{prefix}layers.{bn}.weight" in sd:
+            params[f"bn{i}"] = {"scale": sd[f"{prefix}layers.{bn}.weight"],
+                                "bias": sd[f"{prefix}layers.{bn}.bias"]}
+            stats[f"bn{i}"] = {
+                "mean": sd[f"{prefix}layers.{bn}.running_mean"],
+                "var": sd[f"{prefix}layers.{bn}.running_var"]}
+    return params, stats
+
+
+def _weight_norm_v(sd: StateDict, prefix: str) -> Array:
+    """Direction matrix of a torch weight_norm'd Linear (old `weight_g/v`
+    and new `parametrizations.weight.original{0,1}` layouts)."""
+    for key in (f"{prefix}.weight_v",
+                f"{prefix}.parametrizations.weight.original1",
+                f"{prefix}.weight"):
+        if key in sd:
+            return sd[key]
+    raise KeyError(f"no weight-norm weight under {prefix}")
+
+
+# ---------------------------------------------------------------------------
+# per-mode converters (the reference eval CLI's strict per-mode formats,
+# `knn_classification.py:124-189`)
+# ---------------------------------------------------------------------------
+
+def convert_simclr(sd: StateDict, model: str = "resnet18"
+                   ) -> Tuple[dict, dict]:
+    """Reference `SimCLR` (`backbone.py:648-681`) → hairci SimCLRModule.
+
+    resnet*: `backbone.{0,1,4-7}` Sequential(children[:-1]);
+    vit_b_16: `backbone.{conv_proj,cls_token,encoder.*}` (ViTWrapper)."""
+    if model == "vit_b_16":
+        bp, bs = convert_torchvision_vit(_sub(sd, "backbone."))
+    else:
+        backbone_sd = strip_sequential_resnet_prefix(sd, "backbone.")
+        stage_sizes = (2, 2, 2, 2) if model == "resnet18" else (3, 4, 6, 3)
+        bp, bs = convert_resnet(backbone_sd, stage_sizes,
+                                bottleneck=model != "resnet18")
+    hp, hs = convert_simclr_projection_head(sd, "projection_head.")
+    return ({"backbone": bp, "head": hp},
+            {"backbone": bs, "head": hs})
+
+
+def convert_supcon(sd: StateDict, model: str = "resnet18"
+                   ) -> Tuple[dict, dict]:
+    """Reference `SupConResNet` (`backbone.py:396-417`) → hairci
+    SupConModule: from-scratch CIFAR-style encoder (`shortcut.{0,1}`
+    instead of torchvision's `downsample.{0,1}`) + mlp head
+    (`head.0`/`head.2`)."""
+    enc = {k.replace(".shortcut.", ".downsample."): v
+           for k, v in _sub(sd, "encoder.").items()}
+    stage_sizes = (2, 2, 2, 2) if model in ("resnet18", "resnet34") else \
+        (3, 4, 6, 3)
+    bp, bs = convert_resnet(enc, stage_sizes,
+                            bottleneck=model not in ("resnet18", "resnet34"))
+    params = {"encoder": bp}
+    stats = {"encoder": bs}
+    if "head.weight" in sd:  # head='linear'
+        params["head_fc"] = {"kernel": _linear(sd["head.weight"]),
+                             "bias": sd["head.bias"]}
+    else:  # head='mlp': Sequential(Linear, ReLU, Linear)
+        params["head_fc1"] = {"kernel": _linear(sd["head.0.weight"]),
+                              "bias": sd["head.0.bias"]}
+        params["head_fc2"] = {"kernel": _linear(sd["head.2.weight"]),
+                              "bias": sd["head.2.bias"]}
+    return params, stats
+
+
+def convert_mae(sd: StateDict, depth: int = 12,
+                decoder_depth: int = 8) -> Tuple[dict, dict]:
+    """Reference `MAE` (`backbone.py:462-525`: lightly
+    MaskedVisionTransformerTIMM encoder + MAEDecoderTIMM) → hairci
+    MAEModule {encoder, decoder}."""
+    ep, _ = convert_vit(_sub(sd, "backbone.vit."), depth=depth)
+    dec_p: Dict[str, dict] = {}
+    if "decoder.decoder_embed.weight" in sd:
+        dsd = _sub(sd, "decoder.")
+        dec_p["embed"] = {"kernel": _linear(dsd["decoder_embed.weight"]),
+                          "bias": dsd["decoder_embed.bias"]}
+        dec_p["mask_token"] = dsd["mask_token"].reshape(1, 1, -1)
+        for i in range(decoder_depth):
+            dec_p[f"block{i}"] = _timm_block(dsd, f"decoder_blocks.{i}")
+        dec_p["norm"] = {"scale": dsd["decoder_norm.weight"],
+                         "bias": dsd["decoder_norm.bias"]}
+        dec_p["pred"] = {"kernel": _linear(dsd["decoder_pred.weight"]),
+                         "bias": dsd["decoder_pred.bias"]}
+    params = {"encoder": ep}
+    if dec_p:
+        params["decoder"] = dec_p
+    return params, {}
+
+
+def convert_simmim(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
+    """Reference `SimMIM` (`backbone.py:549-601`: torchvision vit_b_16 +
+    linear decoder) → hairci SimMIMModule.
+
+    Partial by design: hairci's SimMIM encoder is cls-token-free with fixed
+    sincos pos-embeds, so torchvision's `class_token`/`pos_embedding` have
+    no target (dropped); blocks/patch-embed/final-LN/decoder transfer."""
+    vp, _ = convert_torchvision_vit(_sub(sd, "backbone.vit."), depth=depth)
+    params: Dict[str, dict] = {
+        "patch_embed": vp["patch_embed"],
+        "mask_token": vp["mask_token"],
+        "norm": vp["norm"],
+        "decoder": {"kernel": _linear(sd["decoder.weight"]),
+                    "bias": sd["decoder.bias"]},
+    }
+    for i in range(depth):
+        params[f"blocks_{i}"] = vp[f"block{i}"]
+    return params, {}
+
+
+def convert_msn(sd: StateDict, depth: int = 12
+                ) -> Tuple[dict, dict, dict, dict]:
+    """Reference `MSN` (`backbone.py:87-121`) → hairci MSNModule.
+
+    Returns (params, stats, ema_params, ema_stats): the trainable branch is
+    the reference's `anchor_*`, the EMA target the reference's frozen
+    `backbone`/`projection_head` (which its `extract_features` serves)."""
+    head_layout = dict(linears=(0, 3, 6), bns=(1, 4, None))
+
+    def branch(bprefix, hprefix):
+        bp, _ = convert_torchvision_vit(_sub(sd, bprefix), depth=depth)
+        hp, hs = convert_lightly_mlp(sd, hprefix, **head_layout)
+        p = {"backbone": bp, "projection_head": hp,
+             "prototypes": sd["prototypes"]}
+        return p, {"projection_head": hs} if hs else (p, {})
+
+    params, stats = branch("anchor_backbone.vit.", "anchor_projection_head.")
+    ema_params, ema_stats = branch("backbone.vit.", "projection_head.")
+    return params, stats, ema_params, ema_stats
+
+
+def convert_densecl(sd: StateDict) -> Tuple[dict, dict, dict, dict]:
+    """Reference `DenseCL` (`backbone.py:123-161`: resnet50 children[:-2] +
+    global/local DenseCLProjectionHeads + momentum copies) → hairci
+    DenseCLModule. Returns (params, stats, ema_params, ema_stats)."""
+
+    def branch(suffix):
+        backbone_sd = strip_sequential_resnet_prefix(
+            sd, f"backbone{suffix}.")
+        bp, bs = convert_resnet(backbone_sd, (3, 4, 6, 3), bottleneck=True)
+        gp, _ = convert_lightly_mlp(sd, f"projection_head_global{suffix}.",
+                                    linears=(0, 2))
+        lp, _ = convert_lightly_mlp(sd, f"projection_head_local{suffix}.",
+                                    linears=(0, 2), names=("fc1", "fc2"))
+        return ({"backbone": bp, "projection_head_global": gp,
+                 "projection_head_local": lp},
+                {"backbone": bs})
+
+    params, stats = branch("")
+    ema_params, ema_stats = branch("_momentum")
+    return params, stats, ema_params, ema_stats
+
+
+def convert_dinov2(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
+    """Reference `DINOv2` (`backbone.py:1021-1109`: timm ViT-S student +
+    frozen teacher, shared DINO/iBOT projection head) → hairci DINOv2Module.
+
+    Returns (params, ema_params) — student → params (the branch hairci's
+    and the reference's `extract_features` use), teacher → ema_params.
+    The weight-normalized last layer's direction matrix maps onto
+    `prototypes` (hairci re-normalizes rows at apply, i.e. g==1 — the DINO
+    `norm_last_layer` convention)."""
+
+    def head(prefix):
+        hp, _ = convert_lightly_mlp(sd, prefix, linears=(0, 2, 4),
+                                    names=("fc1", "fc2", "fc3"))
+        hp["prototypes"] = _weight_norm_v(sd, f"{prefix}last_layer")
+        return hp
+
+    def branch(bprefix, hprefix):
+        bp, _ = convert_vit(_sub(sd, bprefix), depth=depth)
+        return {"backbone": bp, "dino_head": head(hprefix)}
+
+    params = branch("student_backbone.vit.", "student_head.dino_head.")
+    ema_params = branch("teacher_backbone.vit.", "teacher_head.dino_head.")
+    return params, ema_params

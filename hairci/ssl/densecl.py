@@ -32,7 +32,8 @@ from hairci.train.state import TrainState, ema_update
 
 class DenseCLModule(nn.Module):
     backbone_name: str = "resnet50"
-    out_dim: int = 128
+    # reference: DenseCLProjectionHead(2048, 2048, 512) (`backbone.py:126-127`)
+    out_dim: int = 512
     dtype: Any = jnp.float32
 
     def setup(self):

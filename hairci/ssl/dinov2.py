@@ -36,6 +36,9 @@ class DINOv2Module(nn.Module):
     img_size: int = 224
     head_out: int = 65536
     bottleneck: int = 256
+    # reference default: the iBOT head IS the DINO head
+    # (`backbone.py:1070-1076` ibot_separate_head=False)
+    ibot_separate_head: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -44,12 +47,18 @@ class DINOv2Module(nn.Module):
         self.dino_head = DINOHead(out_dim=self.head_out,
                                   bottleneck=self.bottleneck,
                                   dtype=self.dtype)
-        self.ibot_head = DINOHead(out_dim=self.head_out,
-                                  bottleneck=self.bottleneck,
-                                  dtype=self.dtype)
+        if self.ibot_separate_head:
+            self.ibot_head = DINOHead(out_dim=self.head_out,
+                                      bottleneck=self.bottleneck,
+                                      dtype=self.dtype)
+        else:
+            self.ibot_head = self.dino_head
 
-    def forward_tokens(self, x, train: bool = True):
-        return self.backbone(x, train=train)  # (B, N+1, D)
+    def forward_tokens(self, x, train: bool = True, token_mask=None):
+        # token_mask: iBOT corruption — the STUDENT's global views are
+        # blockwise-masked (`pretrain_engine.py:436-437` forward_student
+        # with mask); the teacher always sees clean inputs
+        return self.backbone(x, train=train, token_mask=token_mask)
 
     def cls_logits(self, cls_tokens, train: bool = True):
         return self.dino_head(cls_tokens, train=train)
@@ -154,8 +163,9 @@ class DINOv2Recipe:
             t_patch_out = self.module.apply(
                 {"params": state.ema_params}, t_patch,
                 method=self.module.patch_logits)
-            # student forward
+            # student forward on MASKED global views (iBOT corruption)
             s_tokens = self.module.apply({"params": params}, glob, train=True,
+                                         token_mask=block_mask,
                                          method=self.module.forward_tokens)
             s_cls_g = s_tokens[:, 0]
             s_patch = s_tokens[:, 1:]

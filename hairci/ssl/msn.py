@@ -27,7 +27,7 @@ class MSNModule(nn.Module):
     backbone_name: str = "vit_base_patch16"
     img_size: int = 224
     focal_size: int = 96
-    proj_hidden: int = 1024
+    proj_hidden: int = 2048
     proj_out: int = 256
     num_prototypes: int = 1024
     dtype: Any = jnp.float32
@@ -37,9 +37,12 @@ class MSNModule(nn.Module):
         # at apply time, like the reference's single ViT)
         self.backbone = build_vit(self.backbone_name, img_size=self.img_size,
                                   dtype=self.dtype)
+        # lightly MSNProjectionHead layout (`backbone.py:93`):
+        # (Linear+BN+GELU) x2 then Linear, hidden 2048, out 256
         self.projection_head = MLPHead(
-            [(self.proj_hidden, True, True), (self.proj_out, False, False)],
-            dtype=self.dtype)
+            [(self.proj_hidden, True, True), (self.proj_hidden, True, True),
+             (self.proj_out, False, False)],
+            act="gelu", dtype=self.dtype)
         self.prototypes = self.param(
             "prototypes", nn.initializers.normal(0.02),
             (self.num_prototypes, self.proj_out))
@@ -139,7 +142,10 @@ class MSNRecipe:
         return state.apply_gradients(grads, batch_stats=new_bs), {"loss": loss}
 
     def extract_features(self, state: TrainState, images) -> jnp.ndarray:
+        """Features from the EMA *target* branch — the reference's
+        `MSN.extract_features` uses `self.backbone` (the frozen target, not
+        the trainable anchor; `backbone.py:119-121`)."""
         x = knn_transform(images, self.img_size)
         return self.module.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
             x, train=False, method=self.module.extract_features)

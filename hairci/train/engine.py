@@ -161,6 +161,18 @@ class Trainer:
                     state, metrics = self._step_fn(stage)(
                         state, batch, rng, stage=stage,
                         batch_id=batch_id, k=total_k)
+                elif args.mode == "dinov2":
+                    # per-step schedules (`pretrain_engine.py:450-509`)
+                    gstep = epoch * len(self.train_loader) + batch_id
+                    state, metrics = self._step_fn(None)(
+                        state, batch, rng,
+                        teacher_temp=self.recipe.teacher_temp(gstep),
+                        momentum=self.recipe.momentum(gstep))
+                elif hasattr(self.recipe, "momentum_for_epoch"):
+                    # per-epoch cosine momentum (BYOL/DenseCL/SiameseIM)
+                    state, metrics = self._step_fn(None)(
+                        state, batch, rng,
+                        momentum=self.recipe.momentum_for_epoch(epoch))
                 else:
                     state, metrics = self._step_fn(None)(state, batch, rng)
                 epoch_metrics.append(metrics)

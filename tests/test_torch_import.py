@@ -149,8 +149,7 @@ class TorchViTBlock(tnn.Module):
         y = (a @ v).transpose(1, 2).reshape(B, N, D)
         x = x + self.attn.proj(y)
         y = self.norm2(x)
-        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y),
-                                                  approximate="tanh"))
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
         return x + y
 
 
@@ -257,3 +256,457 @@ def test_sham2_sequential_prefix_and_head():
                        jnp.zeros((2, 32, 32, 3)), train=False,
                        method=module.extract_features)
     assert out.shape == (2, 512)
+
+
+# ---------------------------------------------------------------------------
+# torchvision-layout ViT (SimMIM / MSN / ViTWrapper wrap vit_b_16)
+# ---------------------------------------------------------------------------
+
+from collections import OrderedDict  # noqa: E402
+
+from hairci.models.vit import VisionTransformer  # noqa: E402
+from hairci.retrieval.torch_import import (  # noqa: E402
+    convert_densecl,
+    convert_dinov2,
+    convert_mae,
+    convert_msn,
+    convert_simclr,
+    convert_simmim,
+    convert_supcon,
+    convert_torchvision_vit,
+)
+
+
+class TVBlock(tnn.Module):
+    """torchvision EncoderBlock semantics + key names."""
+
+    def __init__(self, d, h):
+        super().__init__()
+        self.ln_1 = tnn.LayerNorm(d, eps=1e-6)
+        self.self_attention = tnn.MultiheadAttention(d, h, batch_first=True)
+        self.ln_2 = tnn.LayerNorm(d, eps=1e-6)
+        self.mlp = tnn.Sequential(
+            tnn.Linear(d, 4 * d), tnn.GELU(), tnn.Dropout(0.0),
+            tnn.Linear(4 * d, d), tnn.Dropout(0.0))
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        y, _ = self.self_attention(y, y, y, need_weights=False)
+        x = x + y
+        return x + self.mlp(self.ln_2(x))
+
+
+class TVEncoder(tnn.Module):
+    def __init__(self, d, h, depth, n_tokens):
+        super().__init__()
+        self.pos_embedding = tnn.Parameter(torch.randn(1, n_tokens, d) * 0.02)
+        self.layers = tnn.Sequential(OrderedDict(
+            (f"encoder_layer_{i}", TVBlock(d, h)) for i in range(depth)))
+        self.ln = tnn.LayerNorm(d, eps=1e-6)
+
+    def forward(self, x):
+        return self.ln(self.layers(x + self.pos_embedding))
+
+
+class TVViT(tnn.Module):
+    """Minimal torchvision VisionTransformer (CLS-token output)."""
+
+    def __init__(self, d=64, h=4, depth=2, patch=16, img=32):
+        super().__init__()
+        self.conv_proj = tnn.Conv2d(3, d, patch, patch)
+        self.class_token = tnn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.encoder = TVEncoder(d, h, depth, (img // patch) ** 2 + 1)
+
+    def forward(self, x):
+        n = x.shape[0]
+        x = self.conv_proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.class_token.expand(n, -1, -1), x], dim=1)
+        return self.encoder(x)[:, 0]
+
+
+def test_torchvision_vit_forward_parity():
+    torch.manual_seed(2)
+    tm = TVViT().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, _ = convert_torchvision_vit(sd, depth=2)
+    fm = VisionTransformer(patch_size=16, embed_dim=64, depth=2, num_heads=4,
+                           img_size=32, sincos_pos_embed=False)
+    x = np.random.default_rng(3).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    out = fm.apply({"params": params}, jnp.asarray(x), train=False, pool=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# synthetic reference state_dict generators (timm / torchvision layouts)
+# ---------------------------------------------------------------------------
+
+def _timm_vit_sd(rng, d, depth, n_tokens, prefix="", ls=False):
+    def r(*shape):
+        return rng.normal(size=shape).astype(np.float32) * 0.02
+
+    sd = {
+        f"{prefix}cls_token": r(1, 1, d),
+        f"{prefix}pos_embed": r(1, n_tokens, d),
+        f"{prefix}patch_embed.proj.weight": r(d, 3, 16, 16),
+        f"{prefix}patch_embed.proj.bias": r(d),
+        f"{prefix}norm.weight": np.ones(d, np.float32),
+        f"{prefix}norm.bias": np.zeros(d, np.float32),
+    }
+    for i in range(depth):
+        t = f"{prefix}blocks.{i}"
+        sd.update({
+            f"{t}.norm1.weight": np.ones(d, np.float32),
+            f"{t}.norm1.bias": np.zeros(d, np.float32),
+            f"{t}.norm2.weight": np.ones(d, np.float32),
+            f"{t}.norm2.bias": np.zeros(d, np.float32),
+            f"{t}.attn.qkv.weight": r(3 * d, d),
+            f"{t}.attn.qkv.bias": r(3 * d),
+            f"{t}.attn.proj.weight": r(d, d),
+            f"{t}.attn.proj.bias": r(d),
+            f"{t}.mlp.fc1.weight": r(4 * d, d),
+            f"{t}.mlp.fc1.bias": r(4 * d),
+            f"{t}.mlp.fc2.weight": r(d, 4 * d),
+            f"{t}.mlp.fc2.bias": r(d),
+        })
+        if ls:
+            sd[f"{t}.ls1.gamma"] = np.full(d, 1e-5, np.float32)
+            sd[f"{t}.ls2.gamma"] = np.full(d, 1e-5, np.float32)
+    return sd
+
+
+def _tv_vit_sd(rng, d, depth, n_tokens, prefix=""):
+    def r(*shape):
+        return rng.normal(size=shape).astype(np.float32) * 0.02
+
+    sd = {
+        f"{prefix}class_token": r(1, 1, d),
+        f"{prefix}conv_proj.weight": r(d, 3, 16, 16),
+        f"{prefix}conv_proj.bias": r(d),
+        f"{prefix}encoder.pos_embedding": r(1, n_tokens, d),
+        f"{prefix}encoder.ln.weight": np.ones(d, np.float32),
+        f"{prefix}encoder.ln.bias": np.zeros(d, np.float32),
+    }
+    for i in range(depth):
+        t = f"{prefix}encoder.layers.encoder_layer_{i}"
+        sd.update({
+            f"{t}.ln_1.weight": np.ones(d, np.float32),
+            f"{t}.ln_1.bias": np.zeros(d, np.float32),
+            f"{t}.ln_2.weight": np.ones(d, np.float32),
+            f"{t}.ln_2.bias": np.zeros(d, np.float32),
+            f"{t}.self_attention.in_proj_weight": r(3 * d, d),
+            f"{t}.self_attention.in_proj_bias": r(3 * d),
+            f"{t}.self_attention.out_proj.weight": r(d, d),
+            f"{t}.self_attention.out_proj.bias": r(d),
+            f"{t}.mlp.0.weight": r(4 * d, d),
+            f"{t}.mlp.0.bias": r(4 * d),
+            f"{t}.mlp.3.weight": r(d, 4 * d),
+            f"{t}.mlp.3.bias": r(d),
+        })
+    return sd
+
+
+def _lightly_head_sd(rng, prefix, dims, bn_after):
+    """dims: [(in, out)] per Linear; bn_after: aligned bools.
+    Sequential index advances by 1 for Linear, +1 if BN, +1 if act (act on
+    all but the last block, matching lightly's flattening)."""
+    def r(*shape):
+        return rng.normal(size=shape).astype(np.float32) * 0.05
+
+    sd, idx = {}, 0
+    for j, ((din, dout), bn) in enumerate(zip(dims, bn_after)):
+        sd[f"{prefix}layers.{idx}.weight"] = r(dout, din)
+        if not bn:
+            sd[f"{prefix}layers.{idx}.bias"] = r(dout)
+        idx += 1
+        if bn:
+            sd[f"{prefix}layers.{idx}.weight"] = np.ones(dout, np.float32)
+            sd[f"{prefix}layers.{idx}.bias"] = np.zeros(dout, np.float32)
+            sd[f"{prefix}layers.{idx}.running_mean"] = np.zeros(dout,
+                                                                np.float32)
+            sd[f"{prefix}layers.{idx}.running_var"] = np.ones(dout,
+                                                              np.float32)
+            idx += 1
+        if j < len(dims) - 1:
+            idx += 1  # activation module
+    return sd
+
+
+def _shapes(t):
+    return jax.tree_util.tree_map(lambda a: jnp.shape(a), t)
+
+
+def test_convert_msn_structure_and_apply():
+    from hairci.ssl.msn import MSNModule
+
+    rng = np.random.default_rng(4)
+    d, depth, grid = 192, 12, 2
+    sd = {}
+    for b in ("backbone.vit.", "anchor_backbone.vit."):
+        sd.update(_tv_vit_sd(rng, d, depth, grid * grid + 1, prefix=b))
+    for h in ("projection_head.", "anchor_projection_head."):
+        sd.update(_lightly_head_sd(
+            rng, h, [(d, 2048), (2048, 2048), (2048, 256)],
+            [True, True, False]))
+    sd["prototypes"] = rng.normal(size=(1024, 256)).astype(np.float32)
+
+    params, stats, emap, emas = convert_msn(sd, depth=depth)
+    module = MSNModule(backbone_name="vit_tiny_patch16", img_size=32)
+    ref = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                      train=True, method=module.encode)
+    assert _shapes(ref["params"]) == _shapes(params)
+    assert _shapes(ref["params"]) == _shapes(emap)
+    assert _shapes(ref["batch_stats"]) == _shapes(stats)
+    out = module.apply({"params": emap, "batch_stats": emas},
+                       jnp.zeros((1, 32, 32, 3)), train=False,
+                       method=module.extract_features)
+    assert out.shape == (1, d) and np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_densecl_structure_and_apply():
+    from hairci.ssl.densecl import DenseCLModule
+
+    rng = np.random.default_rng(5)
+    # resnet50 children[:-2] state dict: build shapes from the hairci init
+    module = DenseCLModule(backbone_name="resnet50")
+    ref = module.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                      train=False)
+    # synthesize torch keys for the backbone from torchvision resnet50 names
+    sd = {}
+    seq = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+           "layer3": "6", "layer4": "7"}
+
+    def put_bn(t, c):
+        sd[f"{t}.weight"] = np.ones(c, np.float32)
+        sd[f"{t}.bias"] = np.zeros(c, np.float32)
+        sd[f"{t}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{t}.running_var"] = np.ones(c, np.float32)
+
+    for suffix in ("", "_momentum"):
+        p = f"backbone{suffix}."
+        sd[f"{p}0.weight"] = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
+        put_bn(f"{p}1", 64)
+        stage_sizes = [3, 4, 6, 3]
+        cin = 64
+        for s, n in enumerate(stage_sizes):
+            width = 64 * 2 ** s
+            for b in range(n):
+                t = f"{p}{seq[f'layer{s + 1}']}.{b}"
+                sd[f"{t}.conv1.weight"] = rng.normal(
+                    size=(width, cin, 1, 1)).astype(np.float32)
+                put_bn(f"{t}.bn1", width)
+                sd[f"{t}.conv2.weight"] = rng.normal(
+                    size=(width, width, 3, 3)).astype(np.float32)
+                put_bn(f"{t}.bn2", width)
+                sd[f"{t}.conv3.weight"] = rng.normal(
+                    size=(width * 4, width, 1, 1)).astype(np.float32)
+                put_bn(f"{t}.bn3", width * 4)
+                if b == 0:
+                    sd[f"{t}.downsample.0.weight"] = rng.normal(
+                        size=(width * 4, cin, 1, 1)).astype(np.float32)
+                    put_bn(f"{t}.downsample.1", width * 4)
+                cin = width * 4
+        for h in (f"projection_head_global{suffix}.",
+                  f"projection_head_local{suffix}."):
+            sd.update(_lightly_head_sd(rng, h, [(2048, 2048), (2048, 512)],
+                                       [False, False]))
+
+    params, stats, emap, emas = convert_densecl(sd)
+    assert _shapes(ref["params"]) == _shapes(params)
+    assert _shapes(ref["params"]) == _shapes(emap)
+    assert _shapes(ref["batch_stats"]) == _shapes(stats)
+    out = module.apply({"params": params, "batch_stats": stats},
+                       jnp.zeros((1, 64, 64, 3)), train=False,
+                       method=module.extract_features)
+    assert out.shape == (1, 2048)
+
+
+def test_convert_mae_structure():
+    from hairci.ssl.mae import MAEModule
+
+    rng = np.random.default_rng(6)
+    d, depth, grid = 192, 12, 2
+    sd = _timm_vit_sd(rng, d, depth, grid * grid + 1, prefix="backbone.vit.")
+    # lightly MAEDecoderTIMM keys
+    dd = 512
+    sd.update({
+        "decoder.decoder_embed.weight": rng.normal(size=(dd, d)).astype(
+            np.float32),
+        "decoder.decoder_embed.bias": np.zeros(dd, np.float32),
+        "decoder.mask_token": np.zeros((1, 1, dd), np.float32),
+        "decoder.decoder_norm.weight": np.ones(dd, np.float32),
+        "decoder.decoder_norm.bias": np.zeros(dd, np.float32),
+        "decoder.decoder_pred.weight": rng.normal(
+            size=(16 * 16 * 3, dd)).astype(np.float32),
+        "decoder.decoder_pred.bias": np.zeros(16 * 16 * 3, np.float32),
+    })
+    blk = _timm_vit_sd(rng, dd, 8, 1, prefix="decoder_tmp.")
+    for k, v in blk.items():
+        if ".blocks." in k:
+            sd[k.replace("decoder_tmp.blocks.",
+                         "decoder.decoder_blocks.")] = v
+
+    params, _ = convert_mae(sd, depth=depth, decoder_depth=8)
+    module = MAEModule(backbone_name="vit_tiny_patch16", img_size=32)
+    N = grid * grid
+    ids_keep = jnp.zeros((1, 1), jnp.int32)
+    ids_restore = jnp.tile(jnp.arange(N), (1, 1))
+    ref = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                      ids_keep, ids_restore, train=False)
+    assert _shapes(ref["params"]) == _shapes(params)
+
+
+def test_convert_simmim_structure_and_apply():
+    from hairci.ssl.simmim import SimMIMModule
+
+    rng = np.random.default_rng(7)
+    d, depth, grid = 192, 12, 2
+    sd = _tv_vit_sd(rng, d, depth, grid * grid + 1, prefix="backbone.vit.")
+    sd["decoder.weight"] = rng.normal(size=(16 * 16 * 3, d)).astype(
+        np.float32)
+    sd["decoder.bias"] = np.zeros(16 * 16 * 3, np.float32)
+
+    params, _ = convert_simmim(sd, depth=depth)
+    module = SimMIMModule(backbone_name="vit_tiny_patch16", img_size=32)
+    mask = jnp.zeros((1, grid * grid), bool)
+    ref = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), mask,
+                      train=False)
+    assert _shapes(ref["params"]) == _shapes(params)
+    out = module.apply({"params": params}, jnp.zeros((1, 32, 32, 3)),
+                       train=False, method=module.extract_features)
+    assert out.shape == (1, d)
+
+
+def test_convert_dinov2_structure_and_apply():
+    from hairci.ssl.dinov2 import DINOv2Module
+
+    rng = np.random.default_rng(8)
+    d, depth, grid = 192, 12, 2
+    sd = {}
+    for b in ("student_backbone.vit.", "teacher_backbone.vit."):
+        sd.update(_timm_vit_sd(rng, d, depth, grid * grid + 1, prefix=b,
+                               ls=True))
+    for h in ("student_head.dino_head.", "teacher_head.dino_head."):
+        sd.update(_lightly_head_sd(rng, h, [(d, 2048), (2048, 2048),
+                                            (2048, 256)],
+                                   [False, False, False]))
+        # torch weight_norm: old naming
+        sd[f"{h}last_layer.weight_g"] = np.ones((512, 1), np.float32)
+        sd[f"{h}last_layer.weight_v"] = rng.normal(size=(512, 256)).astype(
+            np.float32)
+
+    params, emap = convert_dinov2(sd, depth=depth)
+    module = DINOv2Module(backbone_name="vit_tiny_patch16", img_size=32,
+                          head_out=512)
+    v = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=True,
+                    method=module.forward_tokens)
+    v2 = module.init(jax.random.key(1), jnp.zeros((2, d)),
+                     method=module.cls_logits)
+    ref = {**v["params"], **v2["params"]}
+    assert _shapes(ref) == _shapes(params)
+    assert _shapes(ref) == _shapes(emap)
+    out = module.apply({"params": params}, jnp.zeros((1, 32, 32, 3)),
+                       train=False, method=module.extract_features)
+    assert out.shape == (1, d) and np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_simclr_resnet_forward_parity():
+    from hairci.ssl.simclr import SimCLRModule
+
+    torch.manual_seed(9)
+    tm = TorchResNet18().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm)
+    sd = {}
+    mapping = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+               "layer3": "6", "layer4": "7"}
+    for k, v in tm.state_dict().items():
+        head, _, tail = k.partition(".")
+        sd[f"backbone.{mapping[head]}.{tail}"] = v.detach().numpy()
+    rng = np.random.default_rng(10)
+    sd.update(_lightly_head_sd(rng, "projection_head.",
+                               [(512, 512), (512, 128)], [True, True]))
+
+    params, stats = convert_simclr(sd, "resnet18")
+    module = SimCLRModule(backbone_name="resnet18")
+    x = np.random.default_rng(11).normal(size=(2, 64, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    out = module.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False,
+                       method=module.extract_features)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+class TorchCifarBasicBlock(tnn.Module):
+    """Reference from-scratch BasicBlock (`backbone.py:247-274`): stride on
+    conv1, `shortcut.{0,1}` projection."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.shortcut = tnn.Sequential()
+        if stride != 1 or cin != cout:
+            self.shortcut = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + self.shortcut(x))
+
+
+class TorchCifarResNet18(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 3, 1, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        cin = 64
+        layers = []
+        for stage, cout in enumerate([64, 128, 256, 512]):
+            blocks = []
+            for b in range(2):
+                stride = 2 if stage > 0 and b == 0 else 1
+                blocks.append(TorchCifarBasicBlock(cin, cout, stride))
+                cin = cout
+            layers.append(tnn.Sequential(*blocks))
+        self.layer1, self.layer2, self.layer3, self.layer4 = layers
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+        return x.mean(dim=(2, 3))
+
+
+def test_convert_supcon_forward_parity():
+    from hairci.ssl.supcon import SupConModule
+
+    torch.manual_seed(12)
+    tm = TorchCifarResNet18().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm)
+    sd = {f"encoder.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    rng = np.random.default_rng(13)
+    sd["head.0.weight"] = rng.normal(size=(512, 512)).astype(np.float32)
+    sd["head.0.bias"] = np.zeros(512, np.float32)
+    sd["head.2.weight"] = rng.normal(size=(128, 512)).astype(np.float32)
+    sd["head.2.bias"] = np.zeros(128, np.float32)
+
+    params, stats = convert_supcon(sd, "resnet18")
+    module = SupConModule(backbone_name="resnet18")
+    x = np.random.default_rng(14).normal(size=(2, 32, 32, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    out = module.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False,
+                       method=module.extract_features)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)

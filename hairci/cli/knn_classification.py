@@ -101,6 +101,12 @@ def load_state(recipe, args, sample):
         elif args.mode == "dinov2":
             params, emap = ti.convert_dinov2(sd)
             state = state.replace(params=params, ema_params=emap)
+        elif args.mode == "siaMIM":
+            # partial: encoders only (see convert_siameseim docstring)
+            params, emap = ti.convert_siameseim(sd)
+            state = state.replace(
+                params=ti.merge_params(state.params, params),
+                ema_params=ti.merge_params(state.ema_params, emap))
         else:
             raise SystemExit(
                 f"torch import for mode {args.mode} not wired; convert with "

@@ -250,6 +250,10 @@ class VisionTransformer(nn.Module):
     sincos_pos_embed: bool = True
     init_values: Optional[float] = None
     global_pool: bool = False  # feature = mean of patch tokens (vs cls)
+    # SiameseIM's encoder has no final LayerNorm (`backbone.py:1699-1720`
+    # extract_features returns the raw cls token); the param is still
+    # created so the tree is layout-stable across configs
+    final_norm: bool = True
 
     @property
     def grid_size(self) -> int:
@@ -305,7 +309,8 @@ class VisionTransformer(nn.Module):
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
                 init_values=self.init_values, name=f"block{i}",
             )(tokens)
-        tokens_normed = _ln("norm")(tokens)
+        normed = _ln("norm")(tokens)
+        tokens_normed = normed if self.final_norm else tokens
         if self.global_pool:
             pooled = _ln("fc_norm")(tokens[:, 1:].mean(axis=1))
         else:

@@ -475,3 +475,30 @@ def convert_dinov2(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
     params = branch("student_backbone.vit.", "student_head.dino_head.")
     ema_params = branch("teacher_backbone.vit.", "teacher_head.dino_head.")
     return params, ema_params
+
+
+def convert_siameseim(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
+    """Reference `SiameseIMViT` (`backbone.py:1217-1719`) → hairci
+    SiameseIMModule, partial: (params, ema_params) carrying the online
+    encoder and the momentum (`mm_*`) encoder — the branches
+    `extract_features` (`backbone.py:1699-1720`) serves. The reference's
+    512-d decoder stack (decoder_embed / projector / predictor blocks) has
+    no hairci target (hairci decodes at encoder width); merge the returned
+    trees over an initialized state with `merge_params`."""
+    ep, _ = convert_vit(sd, depth=depth)
+    mm = {k[3:]: v for k, v in sd.items() if k.startswith("mm_")}
+    mm["pos_embed"] = sd["pos_embed"]  # fixed sincos, shared by both branches
+    emp, _ = convert_vit(mm, depth=depth)
+    return {"encoder": ep}, {"encoder": emp}
+
+
+def merge_params(base, override):
+    """Recursively overlay converted (partial) params onto an init tree."""
+    out = dict(base)
+    for k, v in override.items():
+        if (isinstance(v, Mapping) and k in base
+                and isinstance(base[k], Mapping)):
+            out[k] = merge_params(base[k], v)
+        else:
+            out[k] = v
+    return out

@@ -92,8 +92,10 @@ class SiameseIMModule(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        # no final encoder LayerNorm — SiameseIMViT applies none
+        # (`backbone.py:1699-1720`: extract_features returns the raw cls)
         self.encoder = build_vit(self.backbone_name, img_size=self.img_size,
-                                 dtype=self.dtype)
+                                 final_norm=False, dtype=self.dtype)
         d = self.encoder.embed_dim
         self.projector_blocks = [
             Block(self.encoder.num_heads, dtype=self.dtype)

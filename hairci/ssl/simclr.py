@@ -28,18 +28,32 @@ from hairci.train.optim import make_optimizer
 from hairci.train.state import TrainState
 
 
+# reference SimCLR head: SimCLRProjectionHead(D, D, out) with out per
+# backbone (`backbone.py:655-672`)
+_PROJ_DIMS = {
+    "resnet18": (512, 128),
+    "resnet34": (512, 128),
+    "resnet50": (2048, 1024),
+    "resnet101": (2048, 1024),
+    "vit_b_16": (768, 512),
+    "vit_base_patch16": (768, 512),
+}
+
+
 class SimCLRModule(nn.Module):
     backbone_name: str = "resnet50"
     img_size: int = 224
-    proj_hidden: int = 2048
-    proj_out: int = 128
+    proj_hidden: int = 0  # 0 = backbone feature dim (reference layout)
+    proj_out: int = 0     # 0 = reference per-backbone output dim
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = build_backbone(
             self.backbone_name, img_size=self.img_size, dtype=self.dtype)
+        hidden, out = _PROJ_DIMS.get(self.backbone_name, (2048, 128))
         self.head = simclr_projection_head(
-            0, hidden=self.proj_hidden, out=self.proj_out, dtype=self.dtype)
+            0, hidden=self.proj_hidden or hidden,
+            out=self.proj_out or out, dtype=self.dtype)
 
     def __call__(self, x, train: bool = True):
         f = backbone_features(self.backbone, x, train)
@@ -62,7 +76,7 @@ class SimCLRRecipe:
         betas=(0.9, 0.999),
         dtype: Any = jnp.bfloat16,
         transform: MultiViewTransform | None = None,
-        proj_out: int = 128,
+        proj_out: int = 0,
     ):
         self.module = SimCLRModule(
             backbone_name=backbone, img_size=img_size, proj_out=proj_out,

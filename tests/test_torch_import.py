@@ -710,3 +710,73 @@ def test_convert_supcon_forward_parity():
                        jnp.asarray(x), train=False,
                        method=module.extract_features)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+class TorchSiamEncoder(tnn.Module):
+    """SiameseIMViT online-encoder eval path (`backbone.py:1699-1720`):
+    patch embed + pos + cls, timm blocks, NO final norm, raw cls out."""
+
+    def __init__(self, d=64, h=4, depth=2, patch=16, img=32):
+        super().__init__()
+        n = (img // patch) ** 2
+        self.proj = tnn.Conv2d(3, d, patch, patch)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.pos_embed = tnn.Parameter(torch.randn(1, n + 1, d) * 0.02,
+                                       requires_grad=False)
+        self.blocks = tnn.ModuleList(TorchViTBlock(d, h) for _ in range(depth))
+
+    def forward(self, x):
+        x = self.proj(x).flatten(2).transpose(1, 2)
+        x = x + self.pos_embed[:, 1:]
+        cls = self.cls_token.expand(x.shape[0], -1, -1) + self.pos_embed[:, :1]
+        x = torch.cat([cls, x], dim=1)
+        for blk in self.blocks:
+            x = blk(x)
+        return x[:, 0]
+
+
+def test_convert_siameseim_encoder_parity():
+    from hairci.models.vit import VisionTransformer
+    from hairci.retrieval.torch_import import convert_siameseim, merge_params
+
+    torch.manual_seed(15)
+    tm = TorchSiamEncoder().eval()
+    def fix(k):
+        return "patch_embed." + k if k.startswith("proj.") else k
+
+    sd = {}
+    for k, v in tm.state_dict().items():
+        sd[fix(k)] = v.detach().numpy()
+    # momentum copies (different weights, to check branch separation);
+    # pos_embed is the shared fixed sincos buffer in the reference
+    tm2 = TorchSiamEncoder().eval()
+    with torch.no_grad():
+        tm2.pos_embed.copy_(tm.pos_embed)
+    for k, v in tm2.state_dict().items():
+        if k == "pos_embed":
+            continue
+        sd["mm_" + fix(k)] = v.detach().numpy()
+
+    params, emap = convert_siameseim(sd, depth=2)
+    fm = VisionTransformer(patch_size=16, embed_dim=64, depth=2, num_heads=4,
+                           img_size=32, sincos_pos_embed=False,
+                           final_norm=False)
+    x = np.random.default_rng(16).normal(size=(2, 32, 32, 3)).astype(
+        np.float32)
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        ref_online = tm(xt).numpy()
+        ref_mm = tm2(xt).numpy()
+    out_online = fm.apply({"params": params["encoder"]}, jnp.asarray(x),
+                          train=False, pool=True)
+    np.testing.assert_allclose(np.asarray(out_online), ref_online,
+                               rtol=1e-3, atol=1e-4)
+    out_mm = fm.apply({"params": emap["encoder"]}, jnp.asarray(x),
+                      train=False, pool=True)
+    np.testing.assert_allclose(np.asarray(out_mm), ref_mm,
+                               rtol=1e-3, atol=1e-4)
+    # merge over an init tree keeps unmatched leaves intact
+    init = fm.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)["params"]
+    merged = merge_params({"encoder": init}, params)
+    assert _shapes(merged["encoder"]) == _shapes(init)

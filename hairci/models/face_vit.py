@@ -98,7 +98,7 @@ class _PreNormAttention(nn.Module):
         inner = self.heads * self.dim_head
         y = nn.LayerNorm(dtype=jnp.float32)(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype)(y)
-        B, N, _ = x.shape
+        B, N, D = x.shape
         qkv = qkv.reshape(B, N, 3, self.heads, self.dim_head)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = q.swapaxes(1, 2)
@@ -106,7 +106,10 @@ class _PreNormAttention(nn.Module):
         v = v.swapaxes(1, 2)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * self.dim_head**-0.5, axis=-1)
+        # NOTE: the reference scales by MODEL dim, not head dim
+        # (`vit_face.py:290,303` self.scale = dim ** -0.5) — kept for
+        # checkpoint parity
+        attn = jax.nn.softmax(attn * float(D) ** -0.5, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.swapaxes(1, 2).reshape(B, N, inner).astype(x.dtype)
@@ -122,7 +125,7 @@ class _PreNormFF(nn.Module):
     def __call__(self, x):
         y = nn.LayerNorm(dtype=jnp.float32)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU (exact)
         y = nn.Dense(x.shape[-1], dtype=self.dtype)(y)
         return x + y
 

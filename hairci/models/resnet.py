@@ -24,6 +24,8 @@ from typing import Any, Callable, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from hairci.models.norm import BatchNorm
+
 ModuleDef = Any
 
 
@@ -108,7 +110,7 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = True):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = partial(
-            nn.BatchNorm,
+            BatchNorm,
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_epsilon,
@@ -153,7 +155,7 @@ class ResNetFeatures(ResNet):
     def __call__(self, x, train: bool = True):  # type: ignore[override]
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = partial(
-            nn.BatchNorm,
+            BatchNorm,
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_epsilon,

@@ -67,12 +67,20 @@ class _EncoderBase:
         raise NotImplementedError
 
     def _load_checkpoint(self, path: str):
+        if path.endswith((".pth", ".pt")):
+            # reference-trained torch weights (hair_encoder.py:53-76 loads
+            # MAE/SiameseIM ckpts non-strict; face_encoder.py:52-87 ViT_face)
+            return self._load_torch(path)
         import orbax.checkpoint as ocp
 
         template = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           self.params)
         return ocp.StandardCheckpointer().restore(os.path.abspath(path),
                                                   template)
+
+    def _load_torch(self, path: str):
+        raise NotImplementedError(
+            f"{type(self).__name__} has no torch-checkpoint converter")
 
     # -- host preprocessing (deterministic, exact) ----------------------
     def _preprocess(self, paths: Sequence[str]) -> np.ndarray:
@@ -148,6 +156,27 @@ class HairEncoder(_EncoderBase):
         tokens = self.model.apply({"params": params}, x, train=False)
         return tokens[:, 0]
 
+    def _load_torch(self, path: str):
+        """Non-strict import like the reference (`hair_encoder.py:53-76`):
+        timm-layout ViT keys at the top level or under common prefixes;
+        anything unmatched keeps its random init."""
+        from hairci.retrieval.torch_import import (
+            convert_vit,
+            load_torch_state_dict,
+            merge_params,
+        )
+
+        sd = load_torch_state_dict(path)
+        for prefix in ("", "backbone.vit.", "vit.", "module."):
+            trial = {k[len(prefix):]: v for k, v in sd.items()
+                     if k.startswith(prefix)} if prefix else dict(sd)
+            if "cls_token" in trial and "blocks.0.attn.qkv.weight" in trial:
+                conv, _ = convert_vit(trial, depth=self.model.depth,
+                                      global_pool=self.model.global_pool)
+                log.info("converted torch ViT weights (prefix=%r)", prefix)
+                return merge_params(self.params, conv)
+        raise ValueError(f"{path}: no recognizable ViT layout")
+
 
 class FaceEncoder(_EncoderBase):
     img_size = 112
@@ -164,3 +193,14 @@ class FaceEncoder(_EncoderBase):
     def _embed_fn(self, params, images):
         x = ops.normalize(ops.to_float(images))
         return self.model.apply({"params": params}, x)
+
+    def _load_torch(self, path: str):
+        from hairci.retrieval.torch_import import (
+            convert_vit_face,
+            load_torch_state_dict,
+            merge_params,
+        )
+
+        sd = load_torch_state_dict(path)
+        conv, _ = convert_vit_face(sd, depth=self.model.depth)
+        return merge_params(self.params, conv)

@@ -502,3 +502,45 @@ def merge_params(base, override):
         else:
             out[k] = v
     return out
+
+
+def convert_vit_face(sd: StateDict, depth: int = 20) -> Tuple[dict, dict]:
+    """Reference `ViT_face`/`ViTs_face` (einops-style, `vit_face.py:338-404`
+    / `vits_face.py:339-401`) → hairci models.face_vit.ViTFace params.
+
+    Torch layout: `transformer.layers.{i}.{0,1}.fn` = Residual(PreNorm(...))
+    with `fn.norm` the pre-LN and `fn.fn` the Attention
+    (`to_qkv`/`to_out.0`) or FeedForward (`net.0`/`net.3`); `mlp_head.0` is
+    the final LayerNorm; `loss.weight`(/`loss.bias`) the margin head."""
+    params: Dict[str, dict] = {
+        "cls_token": sd["cls_token"],
+        "pos_embedding": sd["pos_embedding"],
+        "patch_to_embedding": {
+            "kernel": _linear(sd["patch_to_embedding.weight"]),
+            "bias": sd["patch_to_embedding.bias"]},
+        "mlp_head": {"scale": sd["mlp_head.0.weight"],
+                     "bias": sd["mlp_head.0.bias"]},
+    }
+    for i in range(depth):
+        attn = f"transformer.layers.{i}.0.fn"
+        ff = f"transformer.layers.{i}.1.fn"
+        params[f"_PreNormAttention_{i}"] = {
+            "LayerNorm_0": {"scale": sd[f"{attn}.norm.weight"],
+                            "bias": sd[f"{attn}.norm.bias"]},
+            "Dense_0": {"kernel": _linear(sd[f"{attn}.fn.to_qkv.weight"])},
+            "Dense_1": {"kernel": _linear(sd[f"{attn}.fn.to_out.0.weight"]),
+                        "bias": sd[f"{attn}.fn.to_out.0.bias"]},
+        }
+        params[f"_PreNormFF_{i}"] = {
+            "LayerNorm_0": {"scale": sd[f"{ff}.norm.weight"],
+                            "bias": sd[f"{ff}.norm.bias"]},
+            "Dense_0": {"kernel": _linear(sd[f"{ff}.fn.net.0.weight"]),
+                        "bias": sd[f"{ff}.fn.net.0.bias"]},
+            "Dense_1": {"kernel": _linear(sd[f"{ff}.fn.net.3.weight"]),
+                        "bias": sd[f"{ff}.fn.net.3.bias"]},
+        }
+    if "loss.weight" in sd:
+        params["loss_weight"] = sd["loss.weight"]
+        if "loss.bias" in sd:
+            params["loss_bias"] = sd["loss.bias"]
+    return params, {}

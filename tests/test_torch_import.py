@@ -780,3 +780,119 @@ def test_convert_siameseim_encoder_parity():
                    train=False)["params"]
     merged = merge_params({"encoder": init}, params)
     assert _shapes(merged["encoder"]) == _shapes(init)
+
+
+# ---------------------------------------------------------------------------
+# face ViT (einops layout, `vit_face.py:257-404`)
+# ---------------------------------------------------------------------------
+
+class _TFPreNorm(tnn.Module):
+    def __init__(self, dim, fn):
+        super().__init__()
+        self.norm = tnn.LayerNorm(dim)
+        self.fn = fn
+
+    def forward(self, x):
+        return self.fn(self.norm(x))
+
+
+class _TFResidual(tnn.Module):
+    def __init__(self, fn):
+        super().__init__()
+        self.fn = fn
+
+    def forward(self, x):
+        return self.fn(x) + x
+
+
+class _TFAttention(tnn.Module):
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads = heads
+        self.scale = dim ** -0.5  # reference quirk: MODEL dim
+        self.to_qkv = tnn.Linear(dim, inner * 3, bias=False)
+        self.to_out = tnn.Sequential(tnn.Linear(inner, dim))
+
+    def forward(self, x):
+        b, n, _ = x.shape
+        h = self.heads
+        q, k, v = self.to_qkv(x).chunk(3, dim=-1)
+
+        def split(t):
+            return t.reshape(b, n, h, -1).transpose(1, 2)
+
+        q, k, v = split(q), split(k), split(v)
+        dots = (q @ k.transpose(-2, -1)) * self.scale
+        out = dots.softmax(dim=-1) @ v
+        out = out.transpose(1, 2).reshape(b, n, -1)
+        return self.to_out(out)
+
+
+class _TFFeedForward(tnn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.net = tnn.Sequential(
+            tnn.Linear(dim, hidden), tnn.GELU(), tnn.Dropout(0.0),
+            tnn.Linear(hidden, dim), tnn.Dropout(0.0))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class TorchViTFace(tnn.Module):
+    def __init__(self, img=32, patch=8, dim=64, depth=2, heads=4,
+                 dim_head=16, mlp_dim=128, num_class=10):
+        super().__init__()
+        n = (img // patch) ** 2
+        self.patch = patch
+        self.pos_embedding = tnn.Parameter(torch.randn(1, n + 1, dim))
+        self.patch_to_embedding = tnn.Linear(patch * patch * 3, dim)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, dim))
+        layers = []
+        for _ in range(depth):
+            layers.append(tnn.ModuleList([
+                _TFResidual(_TFPreNorm(dim, _TFAttention(dim, heads,
+                                                         dim_head))),
+                _TFResidual(_TFPreNorm(dim, _TFFeedForward(dim, mlp_dim))),
+            ]))
+        self.transformer = tnn.Module()
+        self.transformer.layers = tnn.ModuleList(layers)
+        self.mlp_head = tnn.Sequential(tnn.LayerNorm(dim))
+
+        class _Loss(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.weight = tnn.Parameter(torch.randn(num_class, dim))
+
+        self.loss = _Loss()
+
+    def forward(self, img):
+        p = self.patch
+        B, C, H, W = img.shape
+        x = img.reshape(B, C, H // p, p, W // p, p)
+        x = x.permute(0, 2, 4, 3, 5, 1).reshape(B, -1, p * p * C)
+        x = self.patch_to_embedding(x)
+        cls = self.cls_token.expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embedding
+        for attn, ff in self.transformer.layers:
+            x = ff(attn(x))
+        return self.mlp_head(x[:, 0])
+
+
+def test_convert_vit_face_forward_parity():
+    from hairci.models.face_vit import ViTFace
+    from hairci.retrieval.torch_import import convert_vit_face
+
+    torch.manual_seed(17)
+    tm = TorchViTFace().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, _ = convert_vit_face(sd, depth=2)
+    fm = ViTFace(image_size=32, patch_size=8, dim=64, depth=2, heads=4,
+                 dim_head=16, mlp_dim=128, num_class=10)
+    x = np.random.default_rng(18).normal(
+        size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    out = fm.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)

@@ -92,6 +92,7 @@ class DataLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         pad_last: bool = False,
+        decoder: str = "auto",
     ):
         # pad_last: repeat-pad the final partial batch to the full batch
         # size — required under jit/sharding where batch shape is static
@@ -106,7 +107,31 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.pad_last = pad_last
+        # decoder: "auto" = native C++ batch decoder (hairci/native/imageio)
+        # for the modes it implements, PIL otherwise; "pil" forces PIL;
+        # "native" requires the native path (raises if unbuildable)
+        self.decoder = decoder
         self._epoch = 0
+
+    def _native_decode(self, paths):
+        """(images, ok-mask) via the C++ loader, or None → PIL fallback.
+
+        The native path covers raw_resize (bit-close: ±1 LSB from PIL's
+        fixed-point resample coefficients) and center_crop (bit-exact);
+        resize_center_crop keeps PIL's bicubic for encoder parity."""
+        native_mode = {"raw_resize": 0, "center_crop": 1}.get(self.mode)
+        if self.decoder == "pil" or native_mode is None:
+            if self.decoder == "native" and native_mode is None:
+                raise ValueError(
+                    f"native decoder does not implement mode {self.mode!r}")
+            return None
+        from hairci.native import imageio
+
+        res = imageio.decode_batch(paths, self.size, native_mode,
+                                   n_threads=max(self.num_workers, 1))
+        if res is None and self.decoder == "native":
+            raise RuntimeError("native image decoder unavailable")
+        return res
 
     def __len__(self) -> int:
         n = len(self.manifest)
@@ -126,9 +151,17 @@ class DataLoader:
 
     def _load_batch(self, indices: np.ndarray, pool: ThreadPoolExecutor):
         paths = [self.manifest.paths[i] for i in indices]
-        arrs = list(pool.map(
-            lambda p: decode_image(p, self.mode, self.size), paths))
-        good = [i for i, a in enumerate(arrs) if a is not None]
+        native = self._native_decode(paths)
+        if native is not None:
+            arrs, okmask = native
+            good = [i for i in range(len(paths)) if okmask[i]]
+            for i in range(len(paths)):
+                if not okmask[i]:
+                    log.warning("Failed to load image %s", paths[i])
+        else:
+            arrs = list(pool.map(
+                lambda p: decode_image(p, self.mode, self.size), paths))
+            good = [i for i, a in enumerate(arrs) if a is not None]
         if not good:
             return None
         images = np.stack([arrs[i] for i in good])

@@ -156,7 +156,9 @@ class Trainer:
             for batch_id, (images, labels) in enumerate(self.train_loader):
                 rng = jax.random.fold_in(
                     jax.random.fold_in(base_key, epoch), batch_id)
-                batch = {"image": self._place_batch(images)}
+                batch = {"image": self._place_batch(images),
+                         "label": self._place_batch(
+                             np.asarray(labels, np.int32))}
                 if is_sham:
                     state, metrics = self._step_fn(stage)(
                         state, batch, rng, stage=stage,

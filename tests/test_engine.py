@@ -181,3 +181,26 @@ def test_grain_loader(dataset_dir):
     n0 = sum(b[0].shape[0] for b in s0)
     n1 = sum(b[0].shape[0] for b in s1)
     assert n0 == n1 == 6
+
+
+def test_supcon_trainer_passes_labels(dataset_dir, tmp_path):
+    """The engine must put labels in the batch dict — SupCon's train_step
+    consumes batch['label'] (regression: KeyError when the Trainer only
+    shipped images)."""
+    from hairci.aug.pipelines import supcon_train_transform
+    from hairci.ssl import build_recipe
+    import jax.numpy as jnp
+
+    csv, img_dir = dataset_dir
+    args = _args(tmp_path, csv, img_dir, mode="simclr_supcon", epochs=1)
+    m = load_manifest(csv, img_dir)
+    loader = DataLoader(m, batch_size=4, size=40, shuffle=True,
+                        drop_last=True, seed=0, num_workers=2)
+    recipe = build_recipe("simclr_supcon", backbone="resnet18", img_size=32,
+                          transform=supcon_train_transform(32),
+                          dtype=jnp.float32)
+    trainer = Trainer(recipe, loader, args)
+    trainer.train()
+    metrics = [json.loads(l) for l in
+               open(os.path.join(trainer.save_path, "metrics.jsonl"))]
+    assert metrics and np.isfinite(metrics[0]["loss"])

@@ -65,10 +65,12 @@ class GalleryIndex:
         self._dim = int(emb.shape[1])
         self.paths = list(paths)
         self.chunk = chunk
-        # fused streaming kernel (hairci/ops/topk_pallas.py): runs the whole
-        # 500k x 512 search in ~12 ms on v5e vs ~1.2 s for XLA
-        # matmul+lax.top_k, and avoids the (Q, N) HBM score matrix.
-        # Auto-enabled on TPU for k <= 128.
+        # fused streaming kernel (hairci/ops/topk_pallas.py): avoids the
+        # (Q, N) HBM score matrix and wins for small k (1.3x XLA at
+        # Q=256, k=5 on 500k x 512; ties at Q=1). Its per-chunk selection
+        # is O(k) VPU passes, so XLA matmul+lax.top_k wins from k~10 and
+        # the kernel runs out of VMEM near k=50 — auto-enabled on TPU for
+        # k <= 8 only (BENCH_RESULTS.md has the measured matrix).
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -100,7 +102,7 @@ class GalleryIndex:
             q = l2_normalize(q)
         n = len(self)
         k = min(k, n)
-        if self.use_pallas and k <= 128:
+        if self.use_pallas and k <= 8:
             from hairci.ops.topk_pallas import topk_gallery_search
 
             s, i = topk_gallery_search(q, self.embeddings, k=k,

@@ -43,7 +43,12 @@ def build_recipe_from_args(args, num_batches: int):
             **common)
     if mode in ("mae", "simMIM", "dinov2", "MSN", "DenseCL", "BYOL",
                 "simclr_supcon"):
-        return build_recipe(mode, **common)
+        # thread the real run length into the schedule-carrying recipes:
+        # dinov2's per-step teacher-temp/momentum warmup+cosine and the
+        # BYOL/DenseCL per-epoch cosine momentum span exactly the run
+        # (`pretrain_engine.py:450-509` computes them from epochs * steps)
+        return build_recipe(mode, epochs=args.epochs,
+                            steps_per_epoch=num_batches, **common)
     raise SystemExit(f"mode {mode!r} is not implemented yet")
 
 

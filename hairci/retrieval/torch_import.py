@@ -544,3 +544,129 @@ def convert_vit_face(sd: StateDict, depth: int = 20) -> Tuple[dict, dict]:
         if "loss.bias" in sd:
             params["loss_bias"] = sd["loss.bias"]
     return params, {}
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: hairci params → torch state_dicts (export)
+# ---------------------------------------------------------------------------
+
+def export_resnet(params: Mapping, stats: Mapping,
+                  stage_sizes=(2, 2, 2, 2),
+                  bottleneck: bool = False) -> Dict[str, Array]:
+    """hairci ResNet (params, batch_stats) → torchvision-layout state_dict
+    (exact inverse of `convert_resnet`; roundtrip tested)."""
+    sd: Dict[str, Array] = {}
+
+    def put_conv(torch_name, p):
+        sd[f"{torch_name}.weight"] = np.transpose(
+            np.asarray(p["kernel"]), (3, 2, 0, 1))  # HWIO → OIHW
+
+    def put_bn(torch_name, p, s):
+        sd[f"{torch_name}.weight"] = np.asarray(p["scale"])
+        sd[f"{torch_name}.bias"] = np.asarray(p["bias"])
+        sd[f"{torch_name}.running_mean"] = np.asarray(s["mean"])
+        sd[f"{torch_name}.running_var"] = np.asarray(s["var"])
+
+    put_conv("conv1", params["conv_init"])
+    put_bn("bn1", params["bn_init"], stats["bn_init"])
+    block_cls = "BottleneckBlock" if bottleneck else "BasicBlock"
+    n_convs = 3 if bottleneck else 2
+    gi = 0
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for b in range(n_blocks):
+            t = f"layer{stage}.{b}"
+            bp, bs = params[f"{block_cls}_{gi}"], stats[f"{block_cls}_{gi}"]
+            for c in range(n_convs):
+                put_conv(f"{t}.conv{c + 1}", bp[f"Conv_{c}"])
+                put_bn(f"{t}.bn{c + 1}", bp[f"BatchNorm_{c}"],
+                       bs[f"BatchNorm_{c}"])
+            if "conv_proj" in bp:
+                put_conv(f"{t}.downsample.0", bp["conv_proj"])
+                put_bn(f"{t}.downsample.1", bp["norm_proj"],
+                       bs["norm_proj"])
+            gi += 1
+    return sd
+
+
+def export_vit(params: Mapping, depth: int = 12) -> Dict[str, Array]:
+    """hairci VisionTransformer params → timm-layout state_dict (inverse of
+    `convert_vit`; the hairci-only mask_token is exported too — timm-side
+    loaders can drop it with strict=False)."""
+    sd: Dict[str, Array] = {
+        "cls_token": np.asarray(params["cls_token"]),
+        "pos_embed": np.asarray(params["pos_embed"]),
+        "mask_token": np.asarray(params["mask_token"]),
+        "patch_embed.proj.weight": np.transpose(
+            np.asarray(params["patch_embed"]["proj"]["kernel"]),
+            (3, 2, 0, 1)),
+        "patch_embed.proj.bias": np.asarray(
+            params["patch_embed"]["proj"]["bias"]),
+    }
+    for i in range(depth):
+        bp = params[f"block{i}"]
+        t = f"blocks.{i}"
+        sd[f"{t}.norm1.weight"] = np.asarray(bp["norm1"]["scale"])
+        sd[f"{t}.norm1.bias"] = np.asarray(bp["norm1"]["bias"])
+        sd[f"{t}.norm2.weight"] = np.asarray(bp["norm2"]["scale"])
+        sd[f"{t}.norm2.bias"] = np.asarray(bp["norm2"]["bias"])
+        sd[f"{t}.attn.qkv.weight"] = np.asarray(
+            bp["attn"]["qkv"]["kernel"]).T
+        sd[f"{t}.attn.qkv.bias"] = np.asarray(bp["attn"]["qkv"]["bias"])
+        sd[f"{t}.attn.proj.weight"] = np.asarray(
+            bp["attn"]["proj"]["kernel"]).T
+        sd[f"{t}.attn.proj.bias"] = np.asarray(bp["attn"]["proj"]["bias"])
+        sd[f"{t}.mlp.fc1.weight"] = np.asarray(bp["mlp"]["fc1"]["kernel"]).T
+        sd[f"{t}.mlp.fc1.bias"] = np.asarray(bp["mlp"]["fc1"]["bias"])
+        sd[f"{t}.mlp.fc2.weight"] = np.asarray(bp["mlp"]["fc2"]["kernel"]).T
+        sd[f"{t}.mlp.fc2.bias"] = np.asarray(bp["mlp"]["fc2"]["bias"])
+        for src, dst in (("ls1", "ls1"), ("ls2", "ls2")):
+            if src in bp:
+                sd[f"{t}.{dst}.gamma"] = np.asarray(bp[src]["gamma"])
+    for n in ("norm", "fc_norm"):
+        if n in params:
+            sd[f"{n}.weight"] = np.asarray(params[n]["scale"])
+            sd[f"{n}.bias"] = np.asarray(params[n]["bias"])
+    return sd
+
+
+def export_sham2(params: Mapping, stats: Mapping,
+                 model: str = "resnet18") -> Dict[str, Array]:
+    """hairci SHAMModule → the reference SHAM2 checkpoint layout
+    (`nn.Sequential(*children)` backbone + lightly projection head) so
+    hairci-trained weights load in the reference's eval tooling."""
+    stage_sizes = (2, 2, 2, 2) if model == "resnet18" else (3, 4, 6, 3)
+    bsd = export_resnet(params["backbone"], stats["backbone"], stage_sizes,
+                        bottleneck=model != "resnet18")
+    seq_map = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+               "layer3": "6", "layer4": "7"}
+    sd: Dict[str, Array] = {}
+    for k, v in bsd.items():
+        head, _, tail = k.partition(".")
+        sd[f"backbone.{seq_map[head]}.{tail}"] = v
+    hp, hs = params["projection_head"], stats["projection_head"]
+    for i, (lin, bn) in enumerate((("0", "1"), ("3", "4"))):
+        sd[f"projection_head.layers.{lin}.weight"] = np.asarray(
+            hp[f"dense{i}"]["kernel"]).T
+        if "bias" in hp[f"dense{i}"]:
+            sd[f"projection_head.layers.{lin}.bias"] = np.asarray(
+                hp[f"dense{i}"]["bias"])
+        sd[f"projection_head.layers.{bn}.weight"] = np.asarray(
+            hp[f"bn{i}"]["scale"])
+        sd[f"projection_head.layers.{bn}.bias"] = np.asarray(
+            hp[f"bn{i}"]["bias"])
+        sd[f"projection_head.layers.{bn}.running_mean"] = np.asarray(
+            hs[f"bn{i}"]["mean"])
+        sd[f"projection_head.layers.{bn}.running_var"] = np.asarray(
+            hs[f"bn{i}"]["var"])
+    return sd
+
+
+def save_torch_state_dict(sd: Mapping[str, Array], path: str,
+                          wrap_key: str = "model_state_dict") -> None:
+    """Write an exported state_dict as a torch .pth (reference checkpoint
+    shape: {'model_state_dict': ...}, `pretrain_engine.py:792-800`)."""
+    import torch
+
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    torch.save({wrap_key: tensors} if wrap_key else tensors, path)

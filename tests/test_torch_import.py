@@ -896,3 +896,67 @@ def test_convert_vit_face_forward_parity():
         ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
     out = fm.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# export (hairci → torch) roundtrips
+# ---------------------------------------------------------------------------
+
+def test_export_resnet_roundtrip():
+    from hairci.retrieval.torch_import import export_resnet
+
+    fm = build_resnet("resnet18")
+    v = fm.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)), train=False)
+    sd = export_resnet(v["params"], v["batch_stats"], (2, 2, 2, 2))
+    params, stats = convert_resnet(sd, (2, 2, 2, 2))
+    for a, b in zip(jax.tree_util.tree_leaves(v["params"]),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(v["batch_stats"]),
+                    jax.tree_util.tree_leaves(stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_vit_roundtrip():
+    from hairci.retrieval.torch_import import export_vit
+
+    fm = build_vit("vit_tiny_patch16", img_size=32, sincos_pos_embed=False)
+    v = fm.init(jax.random.key(4), jnp.zeros((1, 32, 32, 3)), train=False)
+    sd = export_vit(v["params"], depth=12)
+    params, _ = convert_vit(sd, depth=12)
+
+    def flat(t):
+        return {jax.tree_util.keystr(k): np.asarray(a) for k, a in
+                jax.tree_util.tree_leaves_with_path(t)}
+
+    a, b = flat(v["params"]), flat(params)
+    assert sorted(a) == sorted(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_export_sham2_loads_in_reference_layout(tmp_path):
+    from hairci.retrieval.torch_import import (
+        export_sham2,
+        load_torch_state_dict,
+        save_torch_state_dict,
+    )
+    from hairci.ssl.sham import SHAMModule
+
+    module = SHAMModule(backbone_name="resnet18", img_size=32)
+    v = module.init(jax.random.key(5), jnp.zeros((2, 32, 32, 3)),
+                    train=False)
+    sd = export_sham2(v["params"], v["batch_stats"], "resnet18")
+    # write as .pth and read back through the normal import path
+    path = str(tmp_path / "sham_export.pth")
+    save_torch_state_dict(sd, path)
+    rd = load_torch_state_dict(path)
+    params, stats = convert_sham2(rd, "resnet18")
+    out_a = module.apply({"params": v["params"],
+                          "batch_stats": v["batch_stats"]},
+                         jnp.ones((1, 32, 32, 3)), train=False,
+                         method=module.extract_features)
+    out_b = module.apply({"params": params, "batch_stats": stats},
+                         jnp.ones((1, 32, 32, 3)), train=False,
+                         method=module.extract_features)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))

@@ -42,7 +42,7 @@ def build_recipe_from_args(args, num_batches: int):
             s2r2_weight=1.0 if getattr(args, "S2R2", False) else 0.0,
             **common)
     if mode in ("mae", "simMIM", "dinov2", "MSN", "DenseCL", "BYOL",
-                "simclr_supcon"):
+                "simclr_supcon", "siameseim"):
         # thread the real run length into the schedule-carrying recipes:
         # dinov2's per-step teacher-temp/momentum warmup+cosine and the
         # BYOL/DenseCL per-epoch cosine momentum span exactly the run

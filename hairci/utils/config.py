@@ -14,8 +14,11 @@ from typing import List, Optional, Set
 
 import yaml
 
+# reference modes (`mainpretrain.py:30-83`) + "siameseim": the reference
+# trains SiameseIM via the external repo's main_pretrain.py
+# (`scripts/train_hair_repsentation.sh`); hairci has the trainer in-tree
 PRETRAIN_MODES = ["mae", "simclr", "simclr_supcon", "dinov2", "simMIM",
-                  "SHAM", "S2R2", "DenseCL", "MSN", "BYOL"]
+                  "SHAM", "S2R2", "DenseCL", "MSN", "BYOL", "siameseim"]
 ABLATIONS = ["None", "randomly", "fixed_hard", "fixed_margin_0_7",
              "fixed_margin_0_5", "No_MSE", "No_Triplet",
              "No masked positive", "No_pos_transform"]

@@ -112,6 +112,15 @@ def topk_gallery_search(
     # n_valid: true row count when the gallery arrives pre-padded
     N = gallery.shape[0] if n_valid is None else n_valid
     k = min(k, N)
+    if k > 16 and not interpret:
+        # the selection runs k unrolled max+mask VPU passes per chunk; past
+        # k~16 the live intermediates blow the ~16 MB scoped-VMEM budget
+        # (observed OOM at k=50) and XLA matmul+lax.top_k is faster anyway
+        # from k~10 (BENCH_RESULTS.md) — use GalleryIndex, which routes
+        # large k to the XLA path
+        raise ValueError(
+            f"topk_gallery_search supports k <= 16 on TPU (got k={k}); "
+            "use GalleryIndex.search or lax.top_k for larger k")
     Qp = _round_up(Q, 8)
     Dp = _round_up(D, 128)
     Np = _round_up(gallery.shape[0], chunk)

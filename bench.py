@@ -95,6 +95,37 @@ def bench_train(recipe, images) -> float:
     return BATCH / per_iter
 
 
+def bench_train_sham(images) -> float:
+    """Flagship HSimCLR/SHAM step in its steady state (stage="mined"):
+    EMA update + cached-negative gather + fused 3B online forward +
+    momentum forward + NTXent/triplet/MSE + Adam."""
+    from hairci.ssl import build_recipe
+
+    recipe = build_recipe(
+        "SHAM", backbone="resnet50", img_size=224, dtype=jnp.bfloat16,
+        num_batches=1)
+    state = recipe.create_state(jax.random.key(0), images)
+
+    @partial(jax.jit, static_argnames="iters")
+    def loop(state, imgs, iters):
+        def body(carry, i):
+            st, _ = carry
+            st, metrics = recipe.train_step(
+                st, {"image": imgs}, jax.random.fold_in(jax.random.key(0), i),
+                stage="mined", batch_id=0)
+            return (st, metrics["loss"]), ()
+
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jnp.arange(iters))
+        return loss
+
+    def run(it):
+        return float(loop(state, images, it))
+
+    per_iter = _timed(run, 1, 5)
+    return BATCH / per_iter
+
+
 def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
                         k: int = 5) -> float:
     from hairci.ops.topk_pallas import topk_gallery_search
@@ -151,6 +182,10 @@ def main() -> None:
           f"({train_ips/BASELINE_TRAIN_IPS:.2f}x est. reference)",
           file=sys.stderr)
 
+    print("[SHAM train step, mined stage]", file=sys.stderr)
+    sham_ips = bench_train_sham(images) / n_chips
+    print(f"SHAM train: {sham_ips:.1f} img/s/chip", file=sys.stderr)
+
     print("[retrieval query latency, 100k x 512 gallery]", file=sys.stderr)
     lat = bench_query_latency()
     print(f"query p50 (device): {lat*1e3:.2f} ms", file=sys.stderr)
@@ -164,6 +199,7 @@ def main() -> None:
             "simclr_train_images_per_sec_per_chip": round(train_ips, 1),
             "simclr_train_vs_baseline": round(
                 train_ips / BASELINE_TRAIN_IPS, 3),
+            "sham_train_images_per_sec_per_chip": round(sham_ips, 1),
             "query_p50_ms_100k_gallery": round(lat * 1e3, 2),
         },
     }))

@@ -356,12 +356,102 @@ def gaussian_blur(
 # rotation (positive_transform parity: RandomRotation ±15°)
 # ---------------------------------------------------------------------------
 
+def _axis_shift(x: jnp.ndarray, t: jnp.ndarray, axis: int, max_shift: int,
+                order: int, fill: float) -> jnp.ndarray:
+    """Shift rows of a batch along `axis` by per-(image,row) amounts `t`
+    (inverse mapping: out[i] = in[i - t]), out-of-range → fill.
+
+    TPU-native: gathers over the image axes are pathologically slow on TPU
+    (a direct per-pixel gather rotation measures ~740 ms for a 256×224² batch
+    — see BENCH_RESULTS.md), so the integer part of the shift is applied as a
+    composition of log2(range) power-of-two `jnp.roll`s selected per row by
+    the shift's bits — pure lane/sublane copies and selects, no gather. The
+    fractional part (order=1) is one extra roll-by-1 blend.
+
+    `t` must be full-rank broadcastable against x with extent 1 on `axis`
+    (e.g. (B, H, 1, 1) for axis=2 of an NHWC batch).
+    """
+    n = jnp.round(t) if order == 0 else jnp.floor(t)
+    f = t - n  # 0 when order == 0
+    n = n.astype(jnp.int32)
+    size = x.shape[axis]
+    idx_shape = [1] * x.ndim
+    idx_shape[axis] = size
+    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(idx_shape), axis)
+
+    # start from a uniform roll by -max_shift, then add bits of (n+max_shift)
+    y = jnp.roll(x, -max_shift, axis=axis)
+    n_pos = jnp.clip(n + max_shift, 0, 2 * max_shift)
+    bits = max(1, (2 * max_shift).bit_length())
+    for k in range(bits):
+        sel = ((n_pos >> k) & 1) == 1
+        y = jnp.where(sel, jnp.roll(y, 1 << k, axis=axis), y)
+
+    src = pos - n  # source coordinate of the integer-shifted value
+    if order == 0:
+        valid = (src >= 0) & (src <= size - 1)
+        return jnp.where(valid, y, fill)
+    y1 = jnp.roll(y, 1, axis=axis)  # integer shift n+1
+    valid0 = (src >= 0) & (src <= size - 1)
+    valid1 = (src - 1 >= 0) & (src - 1 <= size - 1)
+    y = jnp.where(valid0, y, fill)
+    y1 = jnp.where(valid1, y1, fill)
+    return y * (1.0 - f) + y1 * f
+
+
+def rotate_shear(x: jnp.ndarray, theta: jnp.ndarray, order: int = 0,
+                 fill: float = 0.0, max_degrees: float = 45.0) -> jnp.ndarray:
+    """Per-image rotation by `theta` (radians, (B,)) via the Paeth 3-shear
+    decomposition — gather-free, each pass is `_axis_shift`.
+
+    order=0 (nearest) matches torchvision RandomRotation's default
+    interpolation; order=1 is bilinear-per-pass. The shear path resamples
+    once per pass instead of once total, so outputs differ from a direct
+    sampled rotation by at most neighbouring-pixel choices — fine for an
+    augmentation (SURVEY.md §7 hard-part 1: training augs target
+    distributional, not bitwise, equivalence).
+
+    `max_degrees` is the STATIC bound on |theta| (sizes the roll
+    decomposition — smaller bound, fewer roll passes)."""
+    B, H, W, C = x.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    alpha = -jnp.tan(theta / 2.0)  # x-shear coefficient
+    beta = jnp.sin(theta)          # y-shear coefficient
+
+    rows_y = jnp.arange(H, dtype=jnp.float32) - cy  # (H,)
+    cols_x = jnp.arange(W, dtype=jnp.float32) - cx  # (W,)
+
+    # static shift bounds for |theta| <= max_degrees
+    t_max = math.radians(max_degrees)
+    mx = int(math.ceil(math.tan(t_max / 2) * (H / 2))) + 1
+    my = int(math.ceil(math.sin(t_max) * (W / 2))) + 1
+
+    tx = (alpha[:, None] * rows_y[None, :])[:, :, None, None]  # (B,H,1,1)
+    ty = (beta[:, None] * cols_x[None, :])[:, None, :, None]   # (B,1,W,1)
+    x = _axis_shift(x, tx, axis=2, max_shift=mx, order=order, fill=fill)
+    x = _axis_shift(x, ty, axis=1, max_shift=my, order=order, fill=fill)
+    x = _axis_shift(x, tx, axis=2, max_shift=mx, order=order, fill=fill)
+    return x
+
+
 def random_rotate(
     key: jax.Array, x: jnp.ndarray, degrees: float = 15.0,
-    fill: float = 0.0,
+    fill: float = 0.0, method: str = "shear",
 ) -> jnp.ndarray:
-    """Per-image random rotation in [-degrees, degrees], bilinear, zero fill
-    (reference `transform.py:21-24` positive_transform)."""
+    """Per-image random rotation in [-degrees, degrees], zero fill
+    (reference `transform.py:21-24` positive_transform; torchvision
+    RandomRotation defaults to NEAREST interpolation).
+
+    method="shear" (default): gather-free 3-shear nearest rotation (TPU
+    hot-path). method="gather": direct bilinear inverse-map sampling (exact
+    rotation map; slow on TPU, kept for CPU use and as the reference
+    implementation for tests)."""
+    if method == "shear":
+        B = x.shape[0]
+        theta = jax.random.uniform(
+            key, (B,), minval=-degrees, maxval=degrees) * (math.pi / 180.0)
+        return rotate_shear(x, theta, order=0, fill=fill,
+                            max_degrees=max(degrees, 1e-3))
     B, H, W, C = x.shape
     angles = jax.random.uniform(key, (B,), minval=-degrees, maxval=degrees)
     theta = angles * (math.pi / 180.0)

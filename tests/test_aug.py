@@ -1,3 +1,5 @@
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +74,57 @@ def test_rotation_zero_is_identity():
     x = jax.random.uniform(jax.random.key(0), (1, 16, 16, 3))
     out = ops.random_rotate(jax.random.key(1), x, degrees=0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def _direct_rotate_nearest(img, t):
+    """Direct inverse-map nearest rotation — the oracle for rotate_shear."""
+    H, W, _ = img.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    cos, sin = jnp.cos(t), jnp.sin(t)
+    ys = cos * (yy - cy) - sin * (xx - cx) + cy
+    xs = sin * (yy - cy) + cos * (xx - cx) + cx
+    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs).astype(jnp.int32)
+    valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+    vals = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    return jnp.where(valid[..., None], vals, 0.0)
+
+
+def test_rotate_shear_vs_direct_nearest():
+    """3-shear rotation realizes the same map as direct nearest sampling:
+    pixels agree except where composed rounding picks an adjacent source."""
+    x = jax.random.uniform(jax.random.key(0), (4, 64, 64, 3))
+    for deg in (10.0, -14.0):
+        theta = jnp.full((4,), math.radians(deg))
+        got = ops.rotate_shear(x, theta, order=0, max_degrees=15.0)
+        want = jax.vmap(_direct_rotate_nearest)(x, theta)
+        equal = jnp.mean(jnp.all(got == want, axis=-1))
+        assert equal > 0.6, f"deg={deg}: only {equal:.2f} pixels agree"
+        # differing pixels must come from the image (or fill), never garbage
+        assert float(jnp.max(got)) <= float(jnp.max(x)) + 1e-6
+        # interior is filled, corners are zeroed like torchvision fill=0
+        assert float(jnp.mean(jnp.all(got == 0.0, axis=-1))) < 0.1
+
+
+def test_rotate_shear_linear_close_to_bilinear_map():
+    """order=1 shear rotation stays close to the exact bilinear rotation on
+    a smooth image (gradient ramp — resampling differences are sub-pixel)."""
+    H = 64
+    ramp = jnp.linspace(0, 1, H)
+    img = (ramp[:, None, None] * 0.5 + ramp[None, :, None] * 0.5)
+    x = jnp.broadcast_to(img, (2, H, H, 1)).astype(jnp.float32)
+    x = jnp.concatenate([x, x, x], axis=-1)
+    theta = jnp.full((2,), math.radians(12.0))
+    got = ops.rotate_shear(x, theta, order=1, max_degrees=15.0)
+    # compare against the direct nearest map on the smooth ramp: any
+    # resampling of the same rotation agrees to ~1 pixel of ramp slope.
+    # Boundary fill regions differ by up to a pixel → compare the centre.
+    oracle = jax.vmap(_direct_rotate_nearest)(x, theta)
+    c = H // 4
+    err = jnp.abs(got - oracle)[:, c:-c, c:-c]
+    assert float(err.max()) < 2.5 / H
 
 
 def test_solarize():

@@ -160,7 +160,19 @@ def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
 
 
 def main() -> None:
+    import os
+
     from hairci.ssl import build_recipe
+
+    # Relay compile times vary wildly between runs (the same embed graph has
+    # measured 80s and 595s cold); skip non-headline sections once the
+    # elapsed-time budget can no longer absorb a worst-case compile, so the
+    # JSON line always prints within the driver's timeout.
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+    def remaining() -> float:
+        return budget - (time.perf_counter() - t_start)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     n_chips = max(jax.device_count(), 1)
@@ -176,32 +188,36 @@ def main() -> None:
           f"({embed_ips/BASELINE_EMBED_IPS:.2f}x est. reference)",
           file=sys.stderr)
 
-    print("[simclr train step]", file=sys.stderr)
-    train_ips = bench_train(recipe, images) / n_chips
-    print(f"train: {train_ips:.1f} img/s/chip "
-          f"({train_ips/BASELINE_TRAIN_IPS:.2f}x est. reference)",
-          file=sys.stderr)
-
-    print("[SHAM train step, mined stage]", file=sys.stderr)
-    sham_ips = bench_train_sham(images) / n_chips
-    print(f"SHAM train: {sham_ips:.1f} img/s/chip", file=sys.stderr)
-
-    print("[retrieval query latency, 100k x 512 gallery]", file=sys.stderr)
-    lat = bench_query_latency()
-    print(f"query p50 (device): {lat*1e3:.2f} ms", file=sys.stderr)
+    extra = {}
+    sections = [  # (label, est. worst-case cost s, key(s) -> runner)
+        ("simclr train step", 400, lambda: {
+            "simclr_train_images_per_sec_per_chip":
+                (ips := round(bench_train(recipe, images) / n_chips, 1)),
+            "simclr_train_vs_baseline": round(ips / BASELINE_TRAIN_IPS, 3)}),
+        ("SHAM train step, mined stage", 400, lambda: {
+            "sham_train_images_per_sec_per_chip":
+                round(bench_train_sham(images) / n_chips, 1)}),
+        ("retrieval query latency, 100k x 512 gallery", 150, lambda: {
+            "query_p50_ms_100k_gallery":
+                round(bench_query_latency() * 1e3, 2)}),
+    ]
+    for label, cost, runner in sections:
+        if remaining() < cost:
+            print(f"[{label}] SKIPPED ({remaining():.0f}s left < {cost}s "
+                  "worst-case)", file=sys.stderr)
+            continue
+        print(f"[{label}]", file=sys.stderr)
+        got = runner()
+        for key, val in got.items():
+            print(f"  {key} = {val}", file=sys.stderr)
+        extra.update(got)
 
     print(json.dumps({
         "metric": "resnet50_embed_throughput",
         "value": round(embed_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(embed_ips / BASELINE_EMBED_IPS, 3),
-        "extra": {
-            "simclr_train_images_per_sec_per_chip": round(train_ips, 1),
-            "simclr_train_vs_baseline": round(
-                train_ips / BASELINE_TRAIN_IPS, 3),
-            "sham_train_images_per_sec_per_chip": round(sham_ips, 1),
-            "query_p50_ms_100k_gallery": round(lat * 1e3, 2),
-        },
+        "extra": extra,
     }))
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from hairci.aug.pipelines import MultiViewTransform, dino_transform, knn_transform
-from hairci.losses import dino_loss, ibot_patch_loss, koleo_loss
+from hairci.losses import dino_loss, koleo_loss
 from hairci.models.heads import DINOHead
 from hairci.models.masking import random_block_mask
 from hairci.models.vit import build_vit
@@ -103,6 +103,17 @@ class DINOv2Recipe:
         p, d, _, _ = VIT_CONFIGS[backbone]
         self.grid = img_size // p
         self.embed_dim = d
+        # static upper bound on masked tokens per image, mirroring
+        # random_block_mask's construction (k coarse blocks of block^2
+        # patches, cropped to the grid) — lets the iBOT path gather masked
+        # tokens into a fixed-shape array instead of running the 65536-way
+        # head on every patch (which materializes a (2B, N, 65536) f32
+        # tensor: 26 GB at B=256 — OOM on a 16 GB chip)
+        block = max(min(4, self.grid // 2), 1)
+        coarse = max(-(-self.grid // block), 1)
+        k_blocks = max(int(round(mask_ratio * coarse * coarse)), 1)
+        self.n_masked = min(k_blocks * block * block, self.grid * self.grid)
+        self.ibot_chunk_rows = 16
         # reference crop scales (`mainpretrain.py:109-116`)
         self.transform = transform or dino_transform(img_size, local_size,
                                                      n_local)
@@ -160,9 +171,6 @@ class DINOv2Recipe:
             t_patch = jax.lax.stop_gradient(t_tokens[:, 1:])
             t_cls_out = self.module.apply({"params": state.ema_params},
                                           t_cls, method=self.module.cls_logits)
-            t_patch_out = self.module.apply(
-                {"params": state.ema_params}, t_patch,
-                method=self.module.patch_logits)
             # student forward on MASKED global views (iBOT corruption)
             s_tokens = self.module.apply({"params": params}, glob, train=True,
                                          token_mask=block_mask,
@@ -171,8 +179,12 @@ class DINOv2Recipe:
             s_patch = s_tokens[:, 1:]
             s_cls_out_g = self.module.apply({"params": params}, s_cls_g,
                                             method=self.module.cls_logits)
-            s_patch_out = self.module.apply({"params": params}, s_patch,
-                                            method=self.module.patch_logits)
+            # iBOT: gather the (statically-bounded) masked positions before
+            # the 65536-way head — the head + CE never see unmasked tokens
+            mask_i = block_mask.reshape(2 * B, grid * grid).astype(jnp.int32)
+            w_m, idx = jax.lax.top_k(mask_i, self.n_masked)  # masked first
+            t_m = jnp.take_along_axis(t_patch, idx[..., None], axis=1)
+            s_m = jnp.take_along_axis(s_patch, idx[..., None], axis=1)
             loc = jnp.concatenate(locals_, axis=0)
             s_tokens_l = self.module.apply({"params": params}, loc, train=True,
                                            method=self.module.forward_tokens)
@@ -186,9 +198,10 @@ class DINOv2Recipe:
             d_loss, new_dino_center = dino_loss(
                 t_chunks, s_chunks, state.extra["dino_center"],
                 teacher_temp=teacher_temp)
-            i_loss, new_ibot_center = ibot_patch_loss(
-                t_patch_out, s_patch_out, block_mask,
-                state.extra["ibot_center"], teacher_temp=teacher_temp)
+            i_loss, new_ibot_center = self._ibot_loss_chunked(
+                params, state.ema_params, t_m, s_m,
+                w_m.astype(jnp.float32), state.extra["ibot_center"],
+                teacher_temp)
             k_loss = 0.1 * sum(koleo_loss(t) for t in
                                jnp.split(s_cls_g, 2, axis=0))
             total = d_loss + i_loss + k_loss
@@ -210,6 +223,52 @@ class DINOv2Recipe:
             ema_params=ema_update(new_state.ema_params, new_state.params,
                                   momentum))
         return new_state, aux
+
+    def _ibot_loss_chunked(self, params, ema_params, t_m, s_m, w, center,
+                           teacher_temp, student_temp: float = 0.1,
+                           center_momentum: float = 0.9):
+        """iBOT masked-patch CE (lightly IBOTPatchLoss semantics) streamed
+        over row chunks.
+
+        t_m/s_m are masked-position backbone tokens (R, M, D), w (R, M) is
+        1 for real masked tokens / 0 for padding. The 65536-prototype head
+        + softmax CE run per chunk under `jax.checkpoint` inside `lax.map`,
+        so neither forward nor backward ever materializes the full
+        (R, M, 65536) logits; per-chunk peak is chunk_rows*M*65536 f32.
+        Numerically identical to the unchunked loss (same masked set, same
+        centering) up to fp summation order."""
+        rows = self.ibot_chunk_rows
+        R = t_m.shape[0]
+        n_chunks = -(-R // rows)
+        pad = n_chunks * rows - R
+        if pad:
+            t_m = jnp.pad(t_m, ((0, pad), (0, 0), (0, 0)))
+            s_m = jnp.pad(s_m, ((0, pad), (0, 0), (0, 0)))
+            w = jnp.pad(w, ((0, pad), (0, 0)))
+        t_c = t_m.reshape(n_chunks, rows, *t_m.shape[1:])
+        s_c = s_m.reshape(n_chunks, rows, *s_m.shape[1:])
+        w_c = w.reshape(n_chunks, rows, -1)
+
+        @jax.checkpoint
+        def chunk(args):
+            t, s, wc = args
+            t_out = jax.lax.stop_gradient(self.module.apply(
+                {"params": ema_params}, t, method=self.module.patch_logits))
+            s_out = self.module.apply({"params": params}, s,
+                                      method=self.module.patch_logits)
+            tp = jax.nn.softmax((t_out - center) / teacher_temp, axis=-1)
+            sl = jax.nn.log_softmax(s_out / student_temp, axis=-1)
+            ce = -jnp.sum(tp * sl, axis=-1)  # (rows, M)
+            return (jnp.sum(ce * wc), jnp.sum(wc),
+                    jnp.sum(t_out * wc[..., None], axis=(0, 1)))
+
+        ce_sum, w_sum, t_sum = jax.lax.map(chunk, (t_c, s_c, w_c))
+        total_w = jnp.maximum(jnp.sum(w_sum), 1.0)
+        loss = jnp.sum(ce_sum) / total_w
+        batch_center = (jnp.sum(t_sum, axis=0) / total_w)[None]
+        new_center = (center * center_momentum
+                      + batch_center * (1 - center_momentum))
+        return loss, jax.lax.stop_gradient(new_center)
 
     def extract_features(self, state: TrainState, images) -> jnp.ndarray:
         x = knn_transform(images, self.img_size)

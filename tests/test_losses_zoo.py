@@ -75,6 +75,44 @@ def test_ibot_patch_loss_masked_only():
     assert np.isfinite(float(loss))
 
 
+def test_ibot_chunked_matches_reference_loss():
+    """The DINOv2 recipe's streamed masked-token iBOT loss equals
+    ibot_patch_loss run on full (B, N, K) logits with the same mask."""
+    import jax
+
+    from hairci.ssl import build_recipe
+
+    r = build_recipe("dinov2", backbone="vit_tiny_patch16", img_size=32,
+                     dtype=jnp.float32, local_size=16, n_local=2)
+    rng = np.random.default_rng(4)
+    B, N, D = 6, r.grid * r.grid, r.embed_dim
+    tokens_t = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    tokens_s = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, N)) < 0.4)
+    # ensure no image exceeds the recipe's static masked-count bound
+    mask = mask.at[:, r.n_masked:].set(False)
+    center = jnp.asarray(rng.normal(size=(1, r.head_out)).astype(np.float32))
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    state = r.create_state(jax.random.key(0), imgs)
+
+    head = lambda params, x: r.module.apply(  # noqa: E731
+        {"params": params}, x, method=r.module.patch_logits)
+    want, want_center = ibot_patch_loss(
+        head(state.ema_params, tokens_t), head(state.params, tokens_s),
+        mask, center, teacher_temp=0.05)
+
+    w, idx = jax.lax.top_k(mask.astype(jnp.int32), r.n_masked)
+    t_m = jnp.take_along_axis(tokens_t, idx[..., None], axis=1)
+    s_m = jnp.take_along_axis(tokens_s, idx[..., None], axis=1)
+    got, got_center = r._ibot_loss_chunked(
+        state.params, state.ema_params, t_m, s_m, w.astype(jnp.float32),
+        center, teacher_temp=0.05)
+
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_center), np.asarray(want_center),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_koleo_penalizes_collapse():
     rng = np.random.default_rng(2)
     spread = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))

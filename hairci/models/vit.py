@@ -254,6 +254,11 @@ class VisionTransformer(nn.Module):
     # extract_features returns the raw cls token); the param is still
     # created so the tree is layout-stable across configs
     final_norm: bool = True
+    # rematerialize each block in the backward pass (jax.checkpoint): the
+    # f32 softmax matrices ((B, H, N, N) per block) dominate training HBM
+    # for big-batch multi-view recipes — DINOv2 at bs 256 saves ~14 GB of
+    # residuals for ~1/3 extra forward FLOPs. Param layout is unchanged.
+    remat: bool = False
 
     @property
     def grid_size(self) -> int:
@@ -304,8 +309,9 @@ class VisionTransformer(nn.Module):
                          (1, 1, self.embed_dim))
         cls = (cls + pos_embed[:, :1]).astype(tokens.dtype)
         tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], axis=1)
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
-            tokens = Block(
+            tokens = block_cls(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
                 init_values=self.init_values, name=f"block{i}",
             )(tokens)

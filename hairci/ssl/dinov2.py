@@ -40,10 +40,12 @@ class DINOv2Module(nn.Module):
     # (`backbone.py:1070-1076` ibot_separate_head=False)
     ibot_separate_head: bool = False
     dtype: Any = jnp.float32
+    remat: bool = True  # 10 views/step: block remat keeps big batches in HBM
 
     def setup(self):
         self.backbone = build_vit(self.backbone_name, img_size=self.img_size,
-                                  dtype=self.dtype, init_values=1e-5)
+                                  dtype=self.dtype, init_values=1e-5,
+                                  remat=self.remat)
         self.dino_head = DINOHead(out_dim=self.head_out,
                                   bottleneck=self.bottleneck,
                                   dtype=self.dtype)

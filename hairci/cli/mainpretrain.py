@@ -56,6 +56,11 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
     args = parse_pretrain_args(argv)
+    if getattr(args, "num_processes", None) and args.num_processes > 1:
+        from hairci.parallel.collectives import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_index)
     set_seed(args.seed)
 
     if not args.train_annotation or not args.img_dir:

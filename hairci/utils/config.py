@@ -76,6 +76,12 @@ def build_pretrain_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--n_model_shards", type=int, default=1,
                    help="size of the `model` mesh axis")
+    # multi-host (DCN rendezvous via jax.distributed.initialize; see
+    # docs/SCALING.md). Single-host runs leave these unset.
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 for multi-host init")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_index", type=int, default=None)
     return p
 
 

@@ -135,7 +135,10 @@ def hybrid_loss(student_proj: jnp.ndarray, teacher_proj: jnp.ndarray,
     align = jnp.mean(1.0 - jnp.sum(s * t, axis=-1))
     d2 = jnp.sum((s[:, None] - s[None]) ** 2, axis=-1)
     B = s.shape[0]
-    off = ~jnp.eye(B, dtype=bool)
-    uniform = jnp.log(jnp.mean(jnp.exp(-2.0 * d2[off])) + 1e-12)
+    # jit-safe off-diagonal mean (boolean fancy-indexing has a
+    # data-dependent shape and fails under tracing)
+    off = 1.0 - jnp.eye(B, dtype=d2.dtype)
+    uniform = jnp.log(jnp.sum(jnp.exp(-2.0 * d2) * off)
+                      / jnp.maximum(jnp.sum(off), 1.0) + 1e-12)
     total = w_contrastive * c + w_align * align + w_uniform * uniform
     return total, {"contrastive": c, "align": align, "uniform": uniform}

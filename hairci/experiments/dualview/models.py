@@ -77,11 +77,20 @@ class DualViewHairModel:
     def __init__(self, backbone: str = "resnet50", embedding_dim: int = 256,
                  projection_dim: int = 128, momentum: float = 0.999,
                  temperature: float = 0.07, learning_rate: float = 1e-3,
-                 dtype: Any = jnp.float32):
+                 dtype: Any = jnp.float32, encoder: str = "resnet"):
         import optax
 
-        self.encoder = HairstyleEncoder(backbone, embedding_dim,
-                                        projection_dim, dtype)
+        if encoder == "resnet":
+            self.encoder = HairstyleEncoder(backbone, embedding_dim,
+                                            projection_dim, dtype)
+        else:
+            # enhanced encoder selection (`enhanced_model.py:17-231`)
+            from hairci.experiments.dualview.enhanced import ENCODERS
+
+            self.encoder = ENCODERS[encoder](
+                backbone_name=backbone, embedding_dim=embedding_dim,
+                projection_dim=projection_dim, dtype=dtype)
+        self.encoder_type = encoder
         self.momentum = momentum
         self.temperature = temperature
         self.tx = optax.adam(learning_rate)

@@ -61,6 +61,48 @@ def evaluate(
     return results
 
 
+def _dualview_embedder(ckpt_path: str, encoder: str, size: int,
+                       batch_size: int = 64):
+    """Build (index_fn, embed_query) over a trained DualViewHairModel
+    checkpoint (reference `quantitative_eval_enhanced.py`: same harness,
+    enhanced model instead of the MAE/SiameseIM ViT)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from hairci.data.loader import decode_image
+    from hairci.experiments.dualview.models import DualViewHairModel
+    from hairci.experiments.dualview.train import _teacher_aug
+    from hairci.train.checkpoint import restore_checkpoint
+
+    model = DualViewHairModel(encoder=encoder)
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    state = model.create_state(jax.random.key(0), dummy)
+    if ckpt_path:
+        state, _ = restore_checkpoint(ckpt_path, state)
+
+    embed = jax.jit(lambda imgs: model.get_embeddings(
+        state, _teacher_aug(imgs), use_teacher=True))
+
+    def embed_query(path: str) -> np.ndarray:
+        img = decode_image(path, "raw_resize", size)
+        return np.asarray(embed(jnp.asarray(img[None])))[0]
+
+    def build_index(db_path: str) -> GalleryIndex:
+        paths = sorted(glob.glob(os.path.join(db_path, "*_hair.png")))
+        if not paths:
+            paths = sorted(glob.glob(os.path.join(db_path, "*")))
+        embs = []
+        for i in range(0, len(paths), batch_size):
+            imgs = [decode_image(p, "raw_resize", size)
+                    for p in paths[i:i + batch_size]]
+            embs.append(np.asarray(embed(jnp.asarray(np.stack(imgs)))))
+        return GalleryIndex(np.concatenate(embs), paths)
+
+    return build_index, embed_query
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser()
@@ -70,7 +112,22 @@ def main(argv=None) -> None:
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--embed_dir", default="save/dualview_embeddings")
     p.add_argument("--out", default="log_json/dualviewhair_top100_results.json")
+    p.add_argument("--model", default="vit", choices=["vit", "dualview"],
+                   help="vit = HairEncoder ckpt (quantitative_eval.py); "
+                        "dualview = DualViewHairModel Orbax ckpt "
+                        "(quantitative_eval_enhanced.py)")
+    p.add_argument("--encoder", default="resnet",
+                   choices=["resnet", "multiscale", "partbased"])
+    p.add_argument("--size", type=int, default=224)
     args = p.parse_args(argv)
+
+    if args.model == "dualview":
+        build_index, embed_query = _dualview_embedder(
+            args.ckpt_path, args.encoder, args.size)
+        index = build_index(args.db_path)
+        bench = load_benchmark(args.benchmark)
+        evaluate(index, embed_query, bench, args.db_path, out_json=args.out)
+        return
 
     from hairci.retrieval.encoders import HairEncoder
 

@@ -75,6 +75,10 @@ def make_train_step(model: DualViewHairModel, loss: str = "infonce",
                                            model.temperature)
             elif loss == "queue":
                 l = queue.loss(student, teacher, bank, model.temperature)
+            elif loss == "hybrid":
+                from hairci.experiments.dualview.enhanced import hybrid_loss
+
+                l, _ = hybrid_loss(student, teacher, model.temperature)
             else:
                 raise ValueError(loss)
             return l, updates.get("batch_stats", state.batch_stats)
@@ -93,8 +97,10 @@ def make_train_step(model: DualViewHairModel, loss: str = "infonce",
 
 def train(data_root: str, epochs: int = 10, batch_size: int = 32,
           size: int = 224, loss: str = "infonce", seed: int = 42,
-          learning_rate: float = 1e-3, dtype=jnp.float32) -> Dict:
-    model = DualViewHairModel(learning_rate=learning_rate, dtype=dtype)
+          learning_rate: float = 1e-3, dtype=jnp.float32,
+          encoder: str = "resnet", save_path: str | None = None) -> Dict:
+    model = DualViewHairModel(learning_rate=learning_rate, dtype=dtype,
+                              encoder=encoder)
     loader = PairLoader(data_root, batch_size, size)
     queue = MomentumQueue(model.encoder.projection_dim) if loss == "queue" \
         else None
@@ -117,6 +123,11 @@ def train(data_root: str, epochs: int = 10, batch_size: int = 32,
         avg = float(jnp.mean(jnp.stack(losses)))
         history.append(avg)
         log.info("epoch %d: loss %.4f", epoch, avg)
+    if save_path:
+        from hairci.train.checkpoint import save_checkpoint
+
+        save_checkpoint(save_path, "dualview_latest", state, epoch=epochs)
+        log.info("saved checkpoint to %s/dualview_latest", save_path)
     return {"model": model, "state": state, "history": history}
 
 
@@ -134,9 +145,14 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--loss", default="infonce",
-                   choices=["infonce", "ntxent", "asymmetric", "queue"])
+                   choices=["infonce", "ntxent", "asymmetric", "queue",
+                            "hybrid"])
+    p.add_argument("--encoder", default="resnet",
+                   choices=["resnet", "multiscale", "partbased"])
+    p.add_argument("--save_path", default=None)
     args = p.parse_args(argv)
-    train(args.data_root, args.epochs, args.batch_size, args.size, args.loss)
+    train(args.data_root, args.epochs, args.batch_size, args.size, args.loss,
+          encoder=args.encoder, save_path=args.save_path)
 
 
 if __name__ == "__main__":

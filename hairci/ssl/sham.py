@@ -77,8 +77,16 @@ class SHAMModule(nn.Module):
     def setup(self):
         name = ("vit_base_patch16" if self.backbone_name == "vit_b_16"
                 else self.backbone_name)
+        kw = {}
+        if name.startswith("vit"):
+            # the SHAM step runs 3 grad-carrying backbone passes; without
+            # block remat the saved f32 attention matrices alone are
+            # 3B·H·N² f32 per block (~21 GB for ViT-B at bs 256) — OOM on
+            # a 16 GB chip. ResNets don't need it (conv residuals are the
+            # activations themselves).
+            kw["remat"] = True
         self.backbone = build_backbone(
-            name, img_size=self.img_size, dtype=self.dtype)
+            name, img_size=self.img_size, dtype=self.dtype, **kw)
         _, hidden, out = _PROJ_DIMS[self.backbone_name]
         self.projection_head = MLPHead(
             [(hidden, True, True), (out, True, False)], dtype=self.dtype)

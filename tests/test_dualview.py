@@ -119,6 +119,46 @@ def test_enhanced_encoders_and_hybrid_loss():
     assert {"contrastive", "align", "uniform"} <= set(parts)
 
 
+def test_enhanced_train_save_eval_cli(tmp_path, pair_root):
+    """quantitative_eval_enhanced parity: train an enhanced encoder with the
+    hybrid loss, save the Orbax checkpoint, evaluate it through the
+    quantitative-eval CLI's --model dualview path."""
+    import json as _json
+
+    from hairci.experiments.dualview import quantitative_eval, train as dvt
+
+    out = dvt.train(pair_root, epochs=1, batch_size=4, size=32,
+                    loss="hybrid", encoder="multiscale",
+                    save_path=str(tmp_path / "ckpt"))
+    assert np.isfinite(out["history"][0])
+    ckpt = str(tmp_path / "ckpt" / "dualview_latest")
+    assert os.path.exists(ckpt)
+
+    bench = [{"query_image": f"img{i}.jpg", "ground_truth": [f"img{i}.jpg"]}
+             for i in range(2)]
+    bench_path = str(tmp_path / "bench.json")
+    _json.dump(bench, open(bench_path, "w"))
+    out_json = str(tmp_path / "enhanced_results.json")
+    quantitative_eval.main([
+        "--db_path", pair_root, "--benchmark", bench_path,
+        "--ckpt_path", ckpt, "--model", "dualview",
+        "--encoder", "multiscale", "--size", "32", "--out", out_json])
+    data = _json.load(open(out_json))
+    assert len(data) == 2 and all(len(r["top100"]) == 8 for r in data)
+
+    # the query embedding equals the index row built from the same file
+    # (random-noise fixtures embed near-identically under pooling, so
+    # rank order is not assertable — the plumbing identity is)
+    build_index, embed_query = quantitative_eval._dualview_embedder(
+        ckpt, "multiscale", 32)
+    index = build_index(pair_root)
+    row = [os.path.basename(p) for p in index.paths].index("img0_hair.png")
+    q = embed_query(os.path.join(pair_root, "img0_hair.png"))
+    q = q / np.linalg.norm(q)  # the index stores L2-normalized rows
+    np.testing.assert_allclose(q, np.asarray(index.embeddings)[row],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_quantitative_eval_pipeline(tmp_path, pair_root):
     """End-to-end: build index over hair crops, evaluate a benchmark."""
     from hairci.eval.retrieval_metrics import load_benchmark

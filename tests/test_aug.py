@@ -127,6 +127,25 @@ def test_rotate_shear_linear_close_to_bilinear_map():
     assert float(err.max()) < 2.5 / H
 
 
+def test_rotate_pallas_matches_shear():
+    """The fused Pallas rotation (interpret mode on CPU) is bit-identical
+    to the XLA 3-shear path it replaces on TPU."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from hairci.ops import rotate_pallas as rp
+
+    x = jax.random.uniform(jax.random.key(3), (3, 32, 32, 3))
+    theta = jnp.asarray([0.2, -0.25, 0.0])
+    want = ops.rotate_shear(x, theta, order=0, max_degrees=15.0)
+    orig = pl.pallas_call
+    interp = lambda *a, **k: orig(*a, **{**k, "interpret": True})  # noqa: E731
+    with mock.patch.object(rp.pl, "pallas_call", interp):
+        got = rp.rotate_shear_pallas(x, theta, max_degrees=15.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_solarize():
     x = jnp.array([[[[0.2, 0.8, 0.5]]]])
     out = ops.solarize(x, 0.5)

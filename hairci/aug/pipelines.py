@@ -168,8 +168,24 @@ def supcon_train_transform(size: int = 224,
 def positive_transform(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
     """Rotation ±15° + GaussianBlur(3, σ∈[0.1,0.5]) applied to the positive
     view inside the SHAM step (`transform.py:21-24`). Operates on the
-    already-normalized batch like the reference does."""
+    already-normalized batch like the reference does.
+
+    On TPU both ops fuse into one Pallas kernel (one HBM round trip,
+    `hairci/ops/rotate_pallas.py`); the RNG draws match the composed
+    path exactly."""
     k1, k2 = jax.random.split(key)
+    if jax.default_backend() == "tpu" and x.ndim == 4:
+        import math as _math
+
+        from hairci.ops.rotate_pallas import rotate_shear_pallas
+
+        B = x.shape[0]
+        theta = jax.random.uniform(
+            k1, (B,), minval=-15.0, maxval=15.0) * (_math.pi / 180.0)
+        _, k_sigma = jax.random.split(k2)  # gaussian_blur's draw order
+        sigma = jax.random.uniform(k_sigma, (B,), minval=0.1, maxval=0.5)
+        return rotate_shear_pallas(x, theta, max_degrees=15.0,
+                                   blur_sigma=sigma)
     x = ops.random_rotate(k1, x, degrees=15.0)
     x = ops.gaussian_blur(k2, x, 3, sigma_range=(0.1, 0.5), p=1.0)
     return x

@@ -146,6 +146,33 @@ def test_rotate_pallas_matches_shear():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_rotate_blur_fused_matches_composed():
+    """rotate_shear_pallas(blur_sigma=...) == rotate_shear + gaussian_blur
+    with the same per-image parameters (positive_transform's TPU fusion)."""
+    import math
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from hairci.ops import rotate_pallas as rp
+
+    key = jax.random.key(7)
+    x = jax.random.uniform(jax.random.key(0), (3, 32, 32, 3))
+    k1, k2 = jax.random.split(key)
+    theta = jax.random.uniform(k1, (3,), minval=-15.0, maxval=15.0) \
+        * (math.pi / 180.0)
+    _, ks = jax.random.split(k2)
+    sigma = jax.random.uniform(ks, (3,), minval=0.1, maxval=0.5)
+    want = ops.rotate_shear(x, theta, order=0, max_degrees=15.0)
+    want = ops.gaussian_blur(k2, want, 3, sigma_range=(0.1, 0.5), p=1.0)
+    orig = pl.pallas_call
+    interp = lambda *a, **k: orig(*a, **{**k, "interpret": True})  # noqa: E731
+    with mock.patch.object(rp.pl, "pallas_call", interp):
+        got = rp.rotate_shear_pallas(x, theta, max_degrees=15.0,
+                                     blur_sigma=sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
 def test_solarize():
     x = jnp.array([[[[0.2, 0.8, 0.5]]]])
     out = ops.solarize(x, 0.5)

@@ -54,6 +54,12 @@ def run_name(args) -> str:
         ]
     if getattr(args, "ablation", "None") != "None":
         parts.append(f"abl_{args.ablation.replace(' ', '_')}")
+    if getattr(args, "full_face_training", False):
+        # the flag's only reference effect is the run-dir suffix
+        # (`pretrain_engine.py:185-193`); multi_view/no_contrastive_loss/
+        # training_settings are parsed but never consumed upstream — kept
+        # on the CLI surface only
+        parts.append("full_face_training")
     return "_".join(str(p) for p in parts)
 
 

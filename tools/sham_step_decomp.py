@@ -56,8 +56,10 @@ def main():
     tfm = simclr_transform(224)
 
     bench_op("two-view simclr transform", lambda k, im: tfm(k, im)[0], x)
-    bench_op("positive_transform (rotate+blur)", positive_transform, x)
-    bench_op("  random_rotate shear (default)", random_rotate, x)
+    bench_op("positive_transform (fused pallas on tpu)", positive_transform,
+             x)
+    bench_op("  random_rotate shear (xla)",
+             lambda k, im: random_rotate(k, im, method="shear"), x)
     bench_op("  random_rotate gather (old)",
              lambda k, im: random_rotate(k, im, method="gather"), x)
     bench_op("  gaussian_blur alone (k=3)",

@@ -28,6 +28,15 @@ import numpy as np
 BASELINE_EMBED_IPS = 2200.0
 BASELINE_TRAIN_IPS = 800.0   # A100 torch SimCLR RN50 fwd+bwd estimate
 BATCH = 256
+# MFU denominators: TPU v5e nominal bf16 peak, and the ~max this (shared/
+# throttled) relay chip has ever sustained on the inference path
+# (BENCH_RESULTS.md "Known relay-environment caveats").
+V5E_PEAK_FLOPS = 197e12
+OBSERVED_SUSTAIN_FLOPS = 60e12
+# SimCLR RN50 bs-256 model FLOPs per step: 2 views x fwd+bwd convs+matmuls,
+# 6.3e12 from the compiled-HLO conv inventory (BENCH_RESULTS.md
+# "BN-reduce investigation").
+SIMCLR_STEP_FLOPS = 6.3e12
 
 
 def _timed(run, small, large, repeats: int = 2):
@@ -189,17 +198,26 @@ def main() -> None:
           file=sys.stderr)
 
     extra = {}
+    # Ordered by headline priority: query_p50 is a BASELINE.json headline and
+    # cheap (150s worst-case), so it runs BEFORE the 400s SHAM section —
+    # round 1 skipped it on budget by running it last.
     sections = [  # (label, est. worst-case cost s, key(s) -> runner)
-        ("simclr train step", 400, lambda: {
-            "simclr_train_images_per_sec_per_chip":
-                (ips := round(bench_train(recipe, images) / n_chips, 1)),
-            "simclr_train_vs_baseline": round(ips / BASELINE_TRAIN_IPS, 3)}),
-        ("SHAM train step, mined stage", 400, lambda: {
-            "sham_train_images_per_sec_per_chip":
-                round(bench_train_sham(images) / n_chips, 1)}),
+        ("simclr train step", 400, lambda: (
+            lambda ips: {
+                "simclr_train_images_per_sec_per_chip": ips,
+                "simclr_train_vs_baseline": round(ips / BASELINE_TRAIN_IPS, 3),
+                "simclr_train_mfu_vs_v5e_peak": round(
+                    ips / BATCH * SIMCLR_STEP_FLOPS / V5E_PEAK_FLOPS, 3),
+                "simclr_train_mfu_vs_observed_sustain": round(
+                    ips / BATCH * SIMCLR_STEP_FLOPS / OBSERVED_SUSTAIN_FLOPS,
+                    3),
+            })(round(bench_train(recipe, images) / n_chips, 1))),
         ("retrieval query latency, 100k x 512 gallery", 150, lambda: {
             "query_p50_ms_100k_gallery":
                 round(bench_query_latency() * 1e3, 2)}),
+        ("SHAM train step, mined stage", 400, lambda: {
+            "sham_train_images_per_sec_per_chip":
+                round(bench_train_sham(images) / n_chips, 1)}),
     ]
     for label, cost, runner in sections:
         if remaining() < cost:

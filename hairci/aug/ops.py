@@ -377,7 +377,10 @@ def _axis_shift(x: jnp.ndarray, t: jnp.ndarray, axis: int, max_shift: int,
     `pos` is the per-element column index (lane // C). `t` stays in column
     units.
     """
-    n = jnp.round(t) if order == 0 else jnp.floor(t)
+    # half-UP rounding (not jnp.round's half-to-even): must match the Pallas
+    # kernel's `floor(t + 0.5)` so the two paths stay bit-identical at
+    # exactly-half-integer shear shifts (ADVICE r1).
+    n = jnp.floor(t + 0.5) if order == 0 else jnp.floor(t)
     f = t - n  # 0 when order == 0
     n = n.astype(jnp.int32)
     if pos is None:

@@ -122,6 +122,9 @@ def load_state(recipe, args, sample):
 
 
 def main(argv=None) -> None:
+    from hairci.utils import apply_platform_env
+
+    apply_platform_env()
     logging.basicConfig(level=logging.INFO)
     parser = build_eval_parser()
     args = parser.parse_args(argv)

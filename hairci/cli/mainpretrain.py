@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from hairci.data import DataLoader, load_manifest
 from hairci.ssl import build_recipe
 from hairci.train.engine import Trainer
-from hairci.utils import parse_pretrain_args, set_seed
+from hairci.utils import apply_platform_env, parse_pretrain_args, set_seed
 
 
 def build_recipe_from_args(args, num_batches: int):
@@ -53,6 +53,7 @@ def build_recipe_from_args(args, num_batches: int):
 
 
 def main(argv=None) -> None:
+    apply_platform_env()  # HAIRCI_PLATFORM/HAIRCI_FORCE_CPU, pre-backend
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
     args = parse_pretrain_args(argv)

@@ -76,6 +76,9 @@ def _visualize(index, encoder, args) -> None:
 
 
 def run(kind: str, argv=None) -> None:
+    from hairci.utils import apply_platform_env
+
+    apply_platform_env()
     logging.basicConfig(level=logging.INFO)
     args = build_retrieval_parser(kind).parse_args(argv)
 

@@ -62,10 +62,15 @@ def evaluate(
 
 
 def _dualview_embedder(ckpt_path: str, encoder: str, size: int,
-                       batch_size: int = 64):
+                       batch_size: int = 64, tower: str = "student"):
     """Build (index_fn, embed_query) over a trained DualViewHairModel
     checkpoint (reference `quantitative_eval_enhanced.py`: same harness,
-    enhanced model instead of the MAE/SiameseIM ViT)."""
+    enhanced model instead of the MAE/SiameseIM ViT).
+
+    ``tower`` defaults to the student (gradient-trained) encoder like the
+    reference's feature extraction; with momentum 0.999 the EMA tower is
+    near-init after short training and under-reports quality. ``--tower
+    teacher`` evaluates the EMA copy instead."""
     import glob
 
     import jax
@@ -83,7 +88,7 @@ def _dualview_embedder(ckpt_path: str, encoder: str, size: int,
         state, _ = restore_checkpoint(ckpt_path, state)
 
     embed = jax.jit(lambda imgs: model.get_embeddings(
-        state, _teacher_aug(imgs), use_teacher=True))
+        state, _teacher_aug(imgs), use_teacher=(tower == "teacher")))
 
     def embed_query(path: str) -> np.ndarray:
         img = decode_image(path, "raw_resize", size)
@@ -119,11 +124,15 @@ def main(argv=None) -> None:
     p.add_argument("--encoder", default="resnet",
                    choices=["resnet", "multiscale", "partbased"])
     p.add_argument("--size", type=int, default=224)
+    p.add_argument("--tower", default="student",
+                   choices=["student", "teacher"],
+                   help="which DualView tower embeds: student matches the "
+                        "reference's feature extraction (default)")
     args = p.parse_args(argv)
 
     if args.model == "dualview":
         build_index, embed_query = _dualview_embedder(
-            args.ckpt_path, args.encoder, args.size)
+            args.ckpt_path, args.encoder, args.size, tower=args.tower)
         index = build_index(args.db_path)
         bench = load_benchmark(args.benchmark)
         evaluate(index, embed_query, bench, args.db_path, out_json=args.out)

@@ -3,10 +3,10 @@
   - MAE: MSE on masked patch pixels (the reference wires `nn.MSELoss()` to
     the lightly MAE model's (predictions, targets) pair, engine `:72,323`),
   - SimMIM: `nn.L1Loss()` on masked patches (engine `:83,514`),
-  - UniGrad (SiameseIM, `backbone.py:1640-1660`): positive cosine pull +
-    correlation-matrix push, where the correlation is averaged across
-    replicas — under jit over a sharded batch, computing the correlation
-    from the GLOBAL batch reproduces the reference's
+  - UniGrad (SiameseIM, `backbone.py:1640-1660`): standardized squared-error
+    positive term + target-correlation push, where the correlation is
+    averaged across replicas — under jit over a sharded batch, computing the
+    correlation from the GLOBAL batch reproduces the reference's
     `torch.distributed.all_reduce(correlation)/world_size` without explicit
     collectives.
 """
@@ -64,16 +64,34 @@ def masked_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
     return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def unigrad_loss(z1: jnp.ndarray, z2: jnp.ndarray,
-                 lamb: float = 0.02) -> jnp.ndarray:
-    """UniGrad (SiameseIM `forward_loss`, `backbone.py:1640-1660`):
-    L = -cos(z1, z2) + λ·E[(z1ᵀ corr z1)] with corr = E[z zᵀ] over the
-    global batch."""
-    z1 = z1 / jnp.maximum(jnp.linalg.norm(z1, axis=-1, keepdims=True), 1e-12)
-    z2 = z2 / jnp.maximum(jnp.linalg.norm(z2, axis=-1, keepdims=True), 1e-12)
-    pos = jnp.mean(jnp.sum(z1 * z2, axis=-1))
-    corr = jnp.einsum("bi,bj->ij", z2, z2,
-                      preferred_element_type=jnp.float32) / z2.shape[0]
-    corr = jax.lax.stop_gradient(corr)
-    neg = jnp.mean(jnp.einsum("bi,ij,bj->b", z1, corr, z1))
-    return -pos + lamb * neg
+def _standardize(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Non-affine LayerNorm over the feature axis (the reference's
+    `student_norm` is a LayerNorm with frozen affine at init ≡ standardize,
+    `teacher_norm` a LayerNorm with `elementwise_affine=False`,
+    `backbone.py:1290-1296,1370-1373`)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+def unigrad_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                 neg_weight: float = 0.02) -> jnp.ndarray:
+    """UniGrad in the reference form (SiameseIM `compute_unigrad_loss`,
+    `backbone.py:1642-1660`):
+
+      pred   = student_norm(pred)           (gradient flows through)
+      target = teacher_norm(target)         (no grad)
+      pos    = E[ ||pred - target||² ]
+      corr   = E_global[ target targetᵀ ]   (all-reduced mean over replicas —
+               computing it from the GLOBAL batch under jit reproduces
+               `torch.distributed.all_reduce(correlation)/world_size`)
+      neg    = E[ pred corr predᵀ ]
+      L      = (pos + neg_weight·neg) / dim
+    """
+    pred = _standardize(pred)
+    target = jax.lax.stop_gradient(_standardize(target))
+    pos = jnp.mean(jnp.sum(jnp.square(pred - target), axis=-1))
+    corr = jnp.einsum("bi,bj->ij", target, target,
+                      preferred_element_type=jnp.float32) / target.shape[0]
+    neg = jnp.mean(jnp.einsum("bi,ij,bj->b", pred, corr, pred))
+    return (pos + neg_weight * neg) / pred.shape[-1]

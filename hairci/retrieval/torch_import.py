@@ -479,17 +479,48 @@ def convert_dinov2(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
 
 def convert_siameseim(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
     """Reference `SiameseIMViT` (`backbone.py:1217-1719`) → hairci
-    SiameseIMModule, partial: (params, ema_params) carrying the online
-    encoder and the momentum (`mm_*`) encoder — the branches
-    `extract_features` (`backbone.py:1699-1720`) serves. The reference's
-    512-d decoder stack (decoder_embed / projector / predictor blocks) has
-    no hairci target (hairci decodes at encoder width); merge the returned
-    trees over an initialized state with `merge_params`."""
+    SiameseIMModule: (params, ema_params) carrying the online encoder (+
+    decoder stack when the checkpoint has one: `decoder_embed`,
+    `projector_decoder_blocks`, `predictor_decoder_blocks`, `decoder_pred`,
+    `decoder_pos_mlp`, `mask_token` — `backbone.py:1268-1303`) and the
+    momentum (`mm_*`) copies (`build_momentum_target`,
+    `backbone.py:1318-1372`). Merge the returned trees over an initialized
+    state with `merge_params`."""
     ep, _ = convert_vit(sd, depth=depth)
     mm = {k[3:]: v for k, v in sd.items() if k.startswith("mm_")}
     mm["pos_embed"] = sd["pos_embed"]  # fixed sincos, shared by both branches
     emp, _ = convert_vit(mm, depth=depth)
-    return {"encoder": ep}, {"encoder": emp}
+    params, emap = {"encoder": ep}, {"encoder": emp}
+
+    def decoder_stack(src: StateDict, tree: dict, online: bool) -> None:
+        if "decoder_embed.weight" not in src:
+            return
+        tree["decoder_embed"] = {
+            "kernel": _linear(src["decoder_embed.weight"]),
+            "bias": src["decoder_embed.bias"]}
+        tree["mask_token"] = src["mask_token"]
+        i = 0
+        while f"projector_decoder_blocks.{i}.norm1.weight" in src:
+            tree[f"projector_blocks_{i}"] = _timm_block(
+                src, f"projector_decoder_blocks.{i}")
+            i += 1
+        if not online:
+            return  # the mm branch stops at the projector (backbone.py:1345-1367)
+        i = 0
+        while f"predictor_decoder_blocks.{i}.norm1.weight" in src:
+            tree[f"predictor_blocks_{i}"] = _timm_block(
+                src, f"predictor_decoder_blocks.{i}")
+            i += 1
+        for torch_name, flax_name in (("decoder_pred", "decoder_pred"),
+                                      ("decoder_pos_mlp", "decoder_pos_mlp")):
+            if f"{torch_name}.weight" in src:
+                tree[flax_name] = {
+                    "kernel": _linear(src[f"{torch_name}.weight"]),
+                    "bias": src[f"{torch_name}.bias"]}
+
+    decoder_stack(sd, params, online=True)
+    decoder_stack(mm, emap, online=False)
+    return params, emap
 
 
 def merge_params(base, override):

@@ -1,23 +1,34 @@
 """SiameseIM recipe — reference `SiameseIMViT`
 (`/root/reference/HairPretraining/src/backbone.py:1217-1719`):
-  - online ViT encoder on a blockwise-masked view,
-  - decoder = projector blocks + predictor blocks that reconstruct the
-    momentum branch's features AT THE OTHER VIEW's patch locations, using
-    relative-position sin-cos embeddings computed from the two crops'
-    geometry (`forward_sim`, `backbone.py:1563-1638`),
-  - momentum branch (`mm_*` modules with manual `mm_update`,
-    `backbone.py:1461-1490`) encodes the full second view,
-  - UniGrad loss with the correlation matrix all-reduced across replicas
-    (`backbone.py:1640-1660`) — here the global-batch correlation under jit
-    reproduces that collective.
+  - online ViT encoder on a blockwise-masked view (`forward_sim`,
+    `backbone.py:1563-1584`),
+  - online projector = ``decoder_embed`` + ``projector_decoder_blocks`` at
+    the decoder width (`backbone.py:1584-1588`) — gradient-trained, because
+    the predictor consumes its output,
+  - predictor = visible tokens (+ fixed sincos decoder pos-embeds) and mask
+    tokens at the OTHER view's patch positions (relative sincos embeds
+    through ``decoder_pos_mlp``), run through ``predictor_decoder_blocks``
+    and ``decoder_pred`` (`backbone.py:1590-1612`),
+  - momentum branch (`mm_*` modules, `mm_update` at `backbone.py:1461-1490`):
+    EMA copies of encoder AND of the gradient-trained projector; the target
+    is the momentum projector's patch tokens (`backbone.py:1614-1632`),
+  - UniGrad loss in the reference form (`compute_unigrad_loss`,
+    `backbone.py:1642-1660`): student/teacher standardization, squared-error
+    positive term, target-correlation negative term all-reduced across
+    replicas (the global-batch correlation under jit reproduces that
+    collective), `(pos + neg_weight*neg)/dim` scaling.
 
 Blockwise masking is gated like `--with_blockwise_mask`
 (`scripts/train_hair_repsentation.sh`).
+
+Deviation (documented in PARITY.md): projector/predictor block norms are
+LayerNorm (the reference's `use_proj_ln`/`use_pred_ln` choose LayerNorm or
+PermuteBN; its defaults live in the external SiameseIM repo's args).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,7 +38,7 @@ from hairci.aug import ops
 from hairci.aug.pipelines import knn_transform
 from hairci.losses import unigrad_loss
 from hairci.models.masking import mask_to_ids_keep, random_block_mask
-from hairci.models.vit import Block, build_vit
+from hairci.models.vit import Block, build_vit, get_2d_sincos_pos_embed
 from hairci.ssl.base import register_recipe
 from hairci.train.optim import make_optimizer
 from hairci.train.schedules import cosine_schedule
@@ -54,7 +65,10 @@ def sim_two_view_transform(key: jax.Array, x: jnp.ndarray, size: int = 224):
 def relative_pos_embed(boxes_src: jnp.ndarray, boxes_tgt: jnp.ndarray,
                        grid: int, dim: int) -> jnp.ndarray:
     """Sin-cos embeddings of the TARGET view's patch centers expressed in the
-    SOURCE view's crop frame (B, grid*grid, dim)."""
+    SOURCE view's crop frame (B, grid*grid, dim) — the
+    `get_2d_sincos_pos_embed_relative` input to `decoder_pos_mlp`
+    (`backbone.py:1592-1594`; the helper itself lives in the external
+    SiameseIM repo)."""
     # patch centers in [0,1] of the target crop
     centers = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid
     cy, cx = jnp.meshgrid(centers, centers, indexing="ij")
@@ -86,48 +100,79 @@ def relative_pos_embed(boxes_src: jnp.ndarray, boxes_tgt: jnp.ndarray,
 class SiameseIMModule(nn.Module):
     backbone_name: str = "vit_base_patch16"
     img_size: int = 224
-    proj_dim: int = 256
-    decoder_depth: int = 4
+    decoder_dim: int = 512
+    decoder_num_heads: int = 16
     projector_depth: int = 2
+    predictor_depth: int = 4
     dtype: Any = jnp.float32
 
     def setup(self):
-        # no final encoder LayerNorm — SiameseIMViT applies none
-        # (`backbone.py:1699-1720`: extract_features returns the raw cls)
+        # no final encoder LayerNorm — `forward_sim` never applies one
+        # (`backbone.py:1578-1584`; `extract_features` at `:1699-1719`
+        # returns the raw cls)
         self.encoder = build_vit(self.backbone_name, img_size=self.img_size,
                                  final_norm=False, dtype=self.dtype)
-        d = self.encoder.embed_dim
+        self.decoder_embed = nn.Dense(self.decoder_dim, dtype=self.dtype)
         self.projector_blocks = [
-            Block(self.encoder.num_heads, dtype=self.dtype)
+            Block(self.decoder_num_heads, dtype=self.dtype)
             for _ in range(self.projector_depth)]
         self.predictor_blocks = [
-            Block(self.encoder.num_heads, dtype=self.dtype)
-            for _ in range(self.decoder_depth)]
-        self.pred_head = nn.Dense(self.proj_dim, dtype=self.dtype)
-        self.target_head = nn.Dense(self.proj_dim, dtype=self.dtype)
-        self.pred_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
-        self.mask_token = self.param("mask_token",
-                                     nn.initializers.normal(0.02), (1, 1, d))
+            Block(self.decoder_num_heads, dtype=self.dtype)
+            for _ in range(self.predictor_depth)]
+        # decoder_pred: decoder_dim -> decoder_dim (`backbone.py:1289`)
+        self.decoder_pred = nn.Dense(self.decoder_dim, dtype=self.dtype)
+        # decoder_pos_mlp: 2*decoder_dim relative sincos -> decoder_dim
+        # (`backbone.py:1301-1303`)
+        self.decoder_pos_mlp = nn.Dense(self.decoder_dim, dtype=self.dtype)
+        self.mask_token = self.param(
+            "mask_token", nn.initializers.normal(0.02),
+            (1, 1, self.decoder_dim))
+
+    def _project(self, tokens):
+        """``decoder_embed`` + projector blocks. Gradient-trained on the
+        online path (`backbone.py:1584-1588`); applied with ``ema_params``
+        it IS the reference's `mm_decoder_embed`/`mm_projector_decoder_blocks`
+        (`backbone.py:1625-1631`) — one set of modules, two parameter trees."""
+        t = self.decoder_embed(tokens)
+        for blk in self.projector_blocks:
+            t = blk(t)
+        return t
+
+    def _decoder_pos(self) -> jnp.ndarray:
+        grid = self.img_size // self.encoder.patch_size
+        return jnp.asarray(get_2d_sincos_pos_embed(
+            self.decoder_dim, grid, cls_token=True))  # (N+1, dec)
 
     def online_forward(self, x, ids_keep, rel_pos, train: bool = True):
-        """Masked encode of view1, then decode features at view2's
-        positions (rel_pos (B, N, D))."""
+        """Masked encode of view1 → projector → predictor decoding at
+        view2's positions. rel_pos (B, N, 2*decoder_dim) raw relative
+        sincos."""
         tokens = self.encoder(x, ids_keep=ids_keep, train=train)  # (B,K+1,D)
-        for blk in self.projector_blocks:
-            tokens = blk(tokens)
+        tokens = self._project(tokens)                      # (B, K+1, dec)
+        pe = self._decoder_pos().astype(tokens.dtype)
+        vis_pe = jnp.take(pe[1:], ids_keep, axis=0)         # (B, K, dec)
+        x2_pe = self.decoder_pos_mlp(rel_pos.astype(tokens.dtype))
         B = x.shape[0]
         N = rel_pos.shape[1]
         queries = jnp.tile(self.mask_token, (B, N, 1)).astype(tokens.dtype)
-        queries = queries + rel_pos.astype(tokens.dtype)
-        seq = jnp.concatenate([tokens, queries], axis=1)
+        seq = jnp.concatenate([
+            tokens[:, :1] + pe[None, :1],
+            tokens[:, 1:] + vis_pe,
+            queries + x2_pe,
+        ], axis=1)
         for blk in self.predictor_blocks:
             seq = blk(seq)
-        pred = self.pred_norm(seq[:, -N:])
-        return self.pred_head(pred).astype(jnp.float32)  # (B, N, proj)
+        pred = self.decoder_pred(seq[:, -N:])
+        return pred.astype(jnp.float32)  # (B, N, dec)
 
     def target_forward(self, x, train: bool = False):
-        tokens = self.encoder(x, train=train)  # momentum params applied here
-        return self.target_head(tokens[:, 1:]).astype(jnp.float32)
+        """Full encode of view2 through the SAME encoder + projector modules
+        — the caller applies this with ``ema_params`` to realize the
+        reference's momentum branch (`backbone.py:1614-1632`). Returns the
+        patch tokens (cls dropped)."""
+        tokens = self.encoder(x, train=train)
+        tokens = self._project(tokens)
+        return tokens[:, 1:].astype(jnp.float32)  # (B, N, dec)
 
     def extract_features(self, x, train: bool = False):
         return self.encoder(x, train=train, pool=True)
@@ -144,19 +189,28 @@ class SiameseIMRecipe:
         learning_rate: float = 1e-3,
         weight_decay: float = 0.05,
         betas=(0.9, 0.999),
-        lamb: float = 0.02,
+        neg_weight: float = 0.02,
+        lamb: float | None = None,  # legacy alias for neg_weight
+        decoder_dim: int = 512,
+        decoder_num_heads: int = 16,
+        projector_depth: int = 2,
+        predictor_depth: int = 4,
         dtype: Any = jnp.bfloat16,
         epochs: int = 100,
         **_unused,
     ):
         if backbone in ("resnet18", "resnet50", "vit_b_16"):
             backbone = "vit_base_patch16"  # sim_vit_base_patch16 (`backbone.py:1723`)
-        self.module = SiameseIMModule(backbone_name=backbone,
-                                      img_size=img_size, dtype=dtype)
+        self.module = SiameseIMModule(
+            backbone_name=backbone, img_size=img_size,
+            decoder_dim=decoder_dim, decoder_num_heads=decoder_num_heads,
+            projector_depth=projector_depth, predictor_depth=predictor_depth,
+            dtype=dtype)
         self.img_size = img_size
         self.mask_ratio = mask_ratio
         self.with_blockwise_mask = with_blockwise_mask
-        self.lamb = lamb
+        self.neg_weight = neg_weight if lamb is None else lamb
+        self.decoder_dim = decoder_dim
         self.epochs = epochs
         from hairci.models.vit import VIT_CONFIGS
 
@@ -181,16 +235,22 @@ class SiameseIMRecipe:
             ids_keep, _, _ = random_token_mask(key, B, n, self.mask_ratio)
         return ids_keep
 
+    def _rel(self, b1, b2):
+        return relative_pos_embed(b1, b2, self.grid, 2 * self.decoder_dim)
+
     def create_state(self, rng, sample_images) -> TrainState:
         v1, v2, b1, b2 = sim_two_view_transform(jax.random.key(0),
                                                 sample_images, self.img_size)
         ids_keep = self._masks(jax.random.key(1), v1.shape[0])
-        rel = relative_pos_embed(b1, b2, self.grid, self.embed_dim)
+        rel = self._rel(b1, b2)
+        # online_forward reaches every module (encoder, projector, predictor,
+        # heads); target_forward shares encoder+projector, so one init covers
+        # the whole tree — and ema_params starts as an exact copy, matching
+        # the reference's `load_state_dict` into the mm_ branch
+        # (`backbone.py:1337-1367`).
         variables = self.module.init(rng, v1, ids_keep, rel, train=True,
                                      method=self.module.online_forward)
-        v_t = self.module.init(jax.random.fold_in(rng, 1), v2,
-                               method=self.module.target_forward)
-        params = {**v_t["params"], **variables["params"]}
+        params = variables["params"]
         return TrainState(
             step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
             opt_state=self.tx.init(params), tx=self.tx,
@@ -203,8 +263,10 @@ class SiameseIMRecipe:
         k_aug, k_mask = jax.random.split(rng)
         v1, v2, b1, b2 = sim_two_view_transform(k_aug, images, self.img_size)
         ids_keep = self._masks(k_mask, v1.shape[0])
-        rel = relative_pos_embed(b1, b2, self.grid, self.embed_dim)
+        rel = self._rel(b1, b2)
 
+        # mm_update BEFORE the target forward, like `forward_sim`
+        # (`backbone.py:1615-1617`)
         ema_params = ema_update(state.ema_params, state.params, momentum)
         state = state.replace(ema_params=ema_params)
 
@@ -219,7 +281,7 @@ class SiameseIMRecipe:
                                      method=self.module.online_forward)
             B, N, D = pred.shape
             return unigrad_loss(pred.reshape(B * N, D),
-                                target.reshape(B * N, D), self.lamb)
+                                target.reshape(B * N, D), self.neg_weight)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), {"loss": loss}

@@ -185,6 +185,27 @@ def test_s2r2_perfect_ranking_low_loss():
     assert good < bad
 
 
+def test_unigrad_reference_form():
+    """Exact recomputation of `compute_unigrad_loss` (backbone.py:1642-1660):
+    student/teacher standardization, squared-error pos, target-correlation
+    neg, (pos + w*neg)/dim."""
+    rng = np.random.default_rng(9)
+    p = rng.normal(size=(6, 8)).astype(np.float32)
+    t = rng.normal(size=(6, 8)).astype(np.float32)
+
+    def std(x):
+        return ((x - x.mean(-1, keepdims=True))
+                / np.sqrt(x.var(-1, keepdims=True) + 1e-5))
+
+    ps, ts = std(p), std(t)
+    pos = ((ps - ts) ** 2).sum(-1).mean()
+    corr = ts.T @ ts / ts.shape[0]
+    neg = np.einsum("bi,ij,bj->b", ps, corr, ps).mean()
+    want = (pos + 0.02 * neg) / p.shape[-1]
+    got = float(unigrad_loss(jnp.asarray(p), jnp.asarray(t), 0.02))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_unigrad_gradient_flows():
     rng = np.random.default_rng(8)
     z1 = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))

@@ -116,10 +116,46 @@ def test_supcon_recipe():
 
 def test_siameseim_recipe():
     r = build_recipe("siameseim", backbone="vit_tiny_patch16", img_size=IMG,
-                     dtype=jnp.float32)
+                     dtype=jnp.float32, decoder_dim=64, decoder_num_heads=4)
     state, m = _run_steps(r, {"image": _images()}, momentum=0.99)
     assert np.isfinite(float(m["loss"]))
     assert r.extract_features(state, _images()).shape == (4, 192)
+    # reference structure: online projector params exist and the predictor's
+    # pred is at decoder width (backbone.py:1584-1612)
+    assert "decoder_embed" in state.params
+    assert "projector_blocks_0" in state.params
+    assert "decoder_pos_mlp" in state.params
+
+
+def test_siameseim_ema_tracks_trained_projector():
+    """The momentum target must be the EMA of the GRADIENT-TRAINED online
+    projector (`mm_decoder_embed`/`mm_projector_decoder_blocks`, reference
+    `mm_update` backbone.py:1461-1490) — not a frozen random projection:
+    after steps the EMA projector params are strictly closer to the trained
+    online params than the shared init was."""
+    r = build_recipe("siameseim", backbone="vit_tiny_patch16", img_size=IMG,
+                     dtype=jnp.float32, decoder_dim=64, decoder_num_heads=4,
+                     learning_rate=1e-2)
+    batch = {"image": _images()}
+    state = r.create_state(jax.random.key(0), batch["image"])
+
+    def proj(tree):
+        return np.concatenate([
+            np.asarray(tree["decoder_embed"]["kernel"]).ravel(),
+            np.asarray(
+                tree["projector_blocks_0"]["attn"]["qkv"]["kernel"]).ravel(),
+        ])
+
+    init = proj(state.params)
+    np.testing.assert_allclose(proj(state.ema_params), init)  # exact copy
+    step = jax.jit(r.train_step)
+    for i in range(5):
+        state, _ = step(state, batch, jax.random.key(i), momentum=0.5)
+    online = proj(state.params)
+    d_online = np.linalg.norm(online - init)
+    assert d_online > 1e-6  # the projector IS on the gradient path
+    d_ema = np.linalg.norm(proj(state.ema_params) - online)
+    assert d_ema < np.linalg.norm(init - online)
 
 
 def test_siameseim_relative_pos_identity():

@@ -1,0 +1,445 @@
+#!/usr/bin/env python
+"""Trained accuracy parity: hairci SHAM vs a bare-torch SHAM2-equivalent.
+
+VERDICT r1 #4: the reference pipeline itself cannot run here (torchvision/
+lightly/timm/faiss absent), so this trains a bare-torch replica of the
+SHAM2 method — the model of `main_backbone.py:565-637`, the step of
+`train_one_epoch_SHAM` (`/root/reference/HairPretraining/src/
+pretrain_engine.py:602-757`), the samplers of `neg_sampling.py:10-53` —
+and hairci's SHAM recipe on the SAME synthetic dataset and staging
+schedule, then runs both through the same cosine-kNN top-1 eval
+(`classification_engine.py:71-98` semantics). Target: top-1 within the
+0.5% band of BASELINE.json.
+
+Both sides use the same augmentation distributions (SimCLR two-view with
+hue jitter disabled — the one op whose HSV round-trip differs subtly
+between implementations; disabled on BOTH sides so the comparison stays
+controlled), the same derangement→k-NN-mined negative staging, the same
+losses (NT-Xent + 0.5*Triplet(0.7→0.5) + 0.2*MSE vs the EMA branch), the
+same Adam(1e-3)+clip(1.0) optimizer. RNG streams differ by framework, so
+the claim tested is statistical, not bitwise.
+
+Run:  python -m tools.accuracy_parity [--side both|torch|hairci]
+      [--epochs 12 --warmup 4 --out /tmp/accuracy_parity.json]
+CPU:  HAIRCI_PLATFORM=cpu routes the hairci side off the relay.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tools.convergence_demo import knn_accuracy, make_dataset  # noqa: E402
+
+# shared config
+C, SIZE, B = 8, 32, 64
+N_TRAIN, N_TEST = 512, 512
+TEMP, TRIPLET_W, MSE_W = 0.5, 0.5, 0.2
+MARGIN1, MARGIN2 = 0.7, 0.5
+EMA_M, LR = 0.99, 1e-3
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# torch side
+# ---------------------------------------------------------------------------
+
+def _torch_modules():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "torch_fixtures", os.path.join(ROOT, "tests", "test_torch_import.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.TorchResNet18
+
+
+class TorchAug:
+    """Numpy/torch mirror of hairci's SimCLR ViewConfig (cj_hue=0) +
+    positive_transform, matching the sampling distributions of
+    `hairci/aug/ops.py` (torchvision semantics on both sides)."""
+
+    def __init__(self, rng: np.random.Generator, size: int):
+        self.rng = rng
+        self.size = size
+
+    # --- torchvision RandomResizedCrop.get_params ---
+    def _crop_params(self, H, W, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+        area = H * W
+        for _ in range(10):
+            target = area * self.rng.uniform(*scale)
+            aspect = math.exp(self.rng.uniform(math.log(ratio[0]),
+                                               math.log(ratio[1])))
+            w = math.sqrt(target * aspect)
+            h = math.sqrt(target / aspect)
+            if 0 < w <= W and 0 < h <= H:
+                top = self.rng.uniform() * (H - h)
+                left = self.rng.uniform() * (W - w)
+                return top, left, h, w
+        return (H - H) / 2, (W - W) / 2, float(H), float(W)
+
+    def rrc(self, x):  # x (B,H,W,3) float
+        import torch
+        import torch.nn.functional as F
+
+        B_, H, W, _ = x.shape
+        out = np.empty((B_, self.size, self.size, 3), np.float32)
+        for i in range(B_):
+            top, left, h, w = self._crop_params(H, W)
+            # same resample as jax.image scale_and_translate bilinear
+            img = torch.tensor(x[i]).permute(2, 0, 1)[None]
+            # integer-box crop + antialiased resize (vs hairci's fractional
+            # scale_and_translate: sub-pixel phase differs, distribution of
+            # content does not)
+            y0, y1 = int(math.floor(top)), int(math.ceil(top + h))
+            x0, x1 = int(math.floor(left)), int(math.ceil(left + w))
+            y1, x1 = min(max(y1, y0 + 1), H), min(max(x1, x0 + 1), W)
+            crop = img[:, :, y0:y1, x0:x1]
+            out[i] = F.interpolate(
+                crop, size=(self.size, self.size), mode="bilinear",
+                align_corners=False, antialias=True
+            )[0].permute(1, 2, 0).numpy()
+        return out
+
+    def hflip(self, x, p=0.5):
+        sel = self.rng.uniform(size=x.shape[0]) < p
+        x = x.copy()
+        x[sel] = x[sel, :, ::-1]
+        return x
+
+    @staticmethod
+    def _gray(x):
+        w = np.asarray([0.299, 0.587, 0.114], np.float32)
+        return (x @ w)[..., None]
+
+    def color_jitter(self, x, b=0.8, c=0.8, s=0.8, p=0.8):
+        B_ = x.shape[0]
+        fb = self.rng.uniform(max(0, 1 - b), 1 + b, (B_, 1, 1, 1))
+        fc = self.rng.uniform(max(0, 1 - c), 1 + c, (B_, 1, 1, 1))
+        fs = self.rng.uniform(max(0, 1 - s), 1 + s, (B_, 1, 1, 1))
+        ops = [
+            lambda im: im * fb,
+            lambda im: self._gray(im).mean(axis=(1, 2, 3), keepdims=True)
+            + (im - self._gray(im).mean(axis=(1, 2, 3), keepdims=True)) * fc,
+            lambda im: np.repeat(self._gray(im), 3, -1)
+            + (im - np.repeat(self._gray(im), 3, -1)) * fs,
+        ]
+        y = x.astype(np.float32)
+        for j in self.rng.permutation(3):
+            y = ops[j](y).astype(np.float32)
+        y = np.clip(y, 0.0, 1.0)
+        apply = (self.rng.uniform(size=(B_, 1, 1, 1)) < p)
+        return np.where(apply, y, x).astype(np.float32)
+
+    def grayscale(self, x, p=0.2):
+        sel = self.rng.uniform(size=(x.shape[0], 1, 1, 1)) < p
+        return np.where(sel, np.repeat(self._gray(x), 3, -1), x
+                        ).astype(np.float32)
+
+    def blur(self, x, ksize=3, sigma=(0.1, 2.0), p=0.5):
+        import torch
+        import torch.nn.functional as F
+
+        B_, H, W, Ch = x.shape
+        sig = self.rng.uniform(*sigma, B_)
+        apply = self.rng.uniform(size=B_) < p
+        half = ksize // 2
+        grid = np.arange(-half, half + 1, dtype=np.float32)
+        out = x.copy()
+        t = torch.tensor(x.transpose(0, 3, 1, 2))
+        for i in range(B_):
+            if not apply[i]:
+                continue
+            k = np.exp(-(grid ** 2) / (2 * sig[i] ** 2))
+            k /= k.sum()
+            kh = torch.tensor(k, dtype=torch.float32).view(1, 1, 1, ksize)
+            kv = kh.view(1, 1, ksize, 1)
+            img = t[i:i + 1]
+            img = F.conv2d(img, kh.expand(Ch, 1, 1, ksize), padding=(0, half),
+                           groups=Ch)
+            img = F.conv2d(img, kv.expand(Ch, 1, ksize, 1), padding=(half, 0),
+                           groups=Ch)
+            out[i] = img[0].permute(1, 2, 0).numpy()
+        return out
+
+    @staticmethod
+    def normalize(x):
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    def view(self, x):
+        y = self.rrc(x)
+        y = self.hflip(y)
+        y = self.color_jitter(y)
+        y = self.grayscale(y)
+        y = self.blur(y)
+        return self.normalize(y)
+
+    def positive_transform(self, x):
+        """rotate ±15° nearest + blur(3, sigma in [0.1, 0.5]) on the
+        normalized batch (`transform.py:21-24`)."""
+        import torch
+        import torch.nn.functional as F
+
+        B_ = x.shape[0]
+        theta = self.rng.uniform(-15, 15, B_) * math.pi / 180
+        t = torch.tensor(x.transpose(0, 3, 1, 2))
+        mats = torch.zeros((B_, 2, 3))
+        mats[:, 0, 0] = torch.tensor(np.cos(theta), dtype=torch.float32)
+        mats[:, 0, 1] = torch.tensor(-np.sin(theta), dtype=torch.float32)
+        mats[:, 1, 0] = torch.tensor(np.sin(theta), dtype=torch.float32)
+        mats[:, 1, 1] = torch.tensor(np.cos(theta), dtype=torch.float32)
+        grid = F.affine_grid(mats, t.shape, align_corners=False)
+        rot = F.grid_sample(t, grid, mode="nearest", padding_mode="zeros",
+                            align_corners=False)
+        y = rot.permute(0, 2, 3, 1).numpy()
+        return self.blur(y, 3, (0.1, 0.5), p=1.0)
+
+
+def train_torch(xs_train, epochs, warmup, seed=0):
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    torch.manual_seed(seed)
+    TorchResNet18 = _torch_modules()
+
+    class SHAMTorch(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = TorchResNet18()
+            # MLPHead [(512, bn, relu), (128, bn, -)] = lightly
+            # SimCLRProjectionHead dims for resnet18 (main_backbone.py:571-586)
+            self.head = nn.Sequential(
+                nn.Linear(512, 512, bias=False), nn.BatchNorm1d(512),
+                nn.ReLU(), nn.Linear(512, 128, bias=False),
+                nn.BatchNorm1d(128))
+
+        def forward(self, x):
+            return self.head(self.backbone(x))
+
+    def nt_xent(z0, z1, temp):
+        z0 = F.normalize(z0, dim=1)
+        z1 = F.normalize(z1, dim=1)
+        z = torch.cat([z0, z1], 0)
+        sim = z @ z.T / temp
+        n = z.shape[0]
+        sim.fill_diagonal_(float("-inf"))
+        pos = (torch.arange(n, device=z.device) + n // 2) % n
+        return F.cross_entropy(sim, pos)
+
+    model = SHAMTorch()
+    ema = SHAMTorch()
+    ema.load_state_dict(model.state_dict())
+    for p in ema.parameters():
+        p.requires_grad_(False)
+    opt = torch.optim.Adam(model.parameters(), lr=LR, betas=(0.9, 0.999))
+    aug = TorchAug(np.random.default_rng(seed + 1), SIZE)
+
+    nb = len(xs_train) // B
+    xf = xs_train.astype(np.float32) / 255.0
+    neg_cache = np.zeros((nb, B), np.int64)
+    k_mined = 7
+
+    def ema_update():
+        with torch.no_grad():
+            for (src, dst) in ((model.state_dict(), ema.state_dict()),):
+                for key in src:
+                    if dst[key].dtype.is_floating_point:
+                        dst[key].mul_(EMA_M).add_(src[key], alpha=1 - EMA_M)
+                    else:
+                        dst[key].copy_(src[key])
+
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        if e + 1 < warmup:
+            stage = "warmup"
+        elif e + 1 == warmup:
+            stage = "mine"
+        else:
+            stage = "mined"
+        margin = MARGIN1 if stage == "warmup" else MARGIN2
+        viol_total = 0.0
+        for bi in range(nb):
+            imgs = xf[bi * B:(bi + 1) * B]
+            x_anchor = aug.view(imgs)
+            x_pos1 = aug.view(imgs)
+
+            ema_update()  # per-batch, BEFORE forward (pretrain_engine:621)
+
+            if stage == "warmup":
+                perm = np.random.default_rng(
+                    (seed, e, bi)).permutation(B)
+                idx = np.arange(B)
+                neg_idx = np.where(perm == idx, (perm + 1) % B, perm)
+            elif stage == "mine":
+                ema.eval()
+                with torch.no_grad():
+                    f = ema.backbone(torch.tensor(
+                        x_pos1.transpose(0, 3, 1, 2)))
+                    f = F.normalize(f, dim=1).numpy()
+                order = np.argsort(-(f @ f.T), axis=1, kind="stable")
+                neg_idx = order[:, min(k_mined - 1, B - 1)]
+                neg_cache[bi] = neg_idx
+            else:
+                neg_idx = neg_cache[bi]
+
+            neg = x_pos1[neg_idx]
+            pos = aug.positive_transform(x_pos1)
+            # masking: patch_size=32 == img size -> floor(ratio*1)=0 patches
+            # masked, identical no-op on the hairci side at 32px
+            masked_pos = pos
+
+            model.train()
+            stacked = torch.tensor(
+                np.concatenate([neg, pos, x_anchor]).transpose(0, 3, 1, 2))
+            out = model(stacked)  # ONE 3B forward: BN stats over 3B rows,
+            # mirroring hairci's fused online branch
+            neg_b, pos_b, anchor_b = out.chunk(3)
+            ema.eval()
+            with torch.no_grad():
+                masked_b = ema(torch.tensor(
+                    masked_pos.transpose(0, 3, 1, 2)))
+            neg_b = F.normalize(neg_b, dim=1)
+            pos_b = F.normalize(pos_b, dim=1)
+            anchor_b = F.normalize(anchor_b, dim=1)
+            masked_b = F.normalize(masked_b, dim=1)
+
+            loss = (nt_xent(pos_b, anchor_b, TEMP)
+                    + TRIPLET_W * F.triplet_margin_loss(
+                        anchor_b, pos_b, neg_b, margin=margin, eps=1e-6)
+                    + MSE_W * F.mse_loss(pos_b, masked_b.detach()))
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            opt.step()
+
+            with torch.no_grad():
+                d_ap = (anchor_b - pos_b).norm(dim=1)
+                d_an = (anchor_b - neg_b).norm(dim=1)
+                viol_total += float((d_ap - d_an + margin > 0).sum())
+        if stage == "warmup" and e + 2 == warmup:
+            v = viol_total / nb / B
+            k_mined = max(2, round((1 - v) * 10))
+        print(f"[torch] epoch {e + 1}/{epochs} stage={stage} "
+              f"loss={float(loss):.3f} k={k_mined} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+
+    def features(x_uint8):
+        model.eval()
+        outs = []
+        with torch.no_grad():
+            for i in range(0, len(x_uint8), 128):
+                xb = x_uint8[i:i + 128].astype(np.float32) / 255.0
+                xb = TorchAug.normalize(xb)
+                outs.append(model.backbone(torch.tensor(
+                    xb.transpose(0, 3, 1, 2))).numpy())
+        return np.concatenate(outs)
+
+    return features
+
+
+# ---------------------------------------------------------------------------
+# hairci side
+# ---------------------------------------------------------------------------
+
+def train_hairci(xs_train, epochs, warmup, seed=0):
+    from hairci.utils import apply_platform_env
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from hairci.aug.pipelines import MultiViewTransform, ViewConfig
+    from hairci.ssl import build_recipe
+
+    nb = len(xs_train) // B
+    v = ViewConfig(size=SIZE, cj_hue=0.0)
+    recipe = build_recipe(
+        "SHAM", backbone="resnet18", img_size=SIZE, dtype=jnp.float32,
+        warm_up_epochs=warmup, num_batches=nb,
+        transform=MultiViewTransform((v, v)))
+    x = jnp.asarray(xs_train)
+    state = recipe.create_state(jax.random.key(seed), x[:B])
+    step = jax.jit(recipe.train_step, static_argnames="stage")
+
+    k_mined = 7
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        stage = recipe.stage_for_epoch(e)
+        viol = 0.0
+        for bi in range(nb):
+            rng = jax.random.fold_in(jax.random.key(seed + 1), e * nb + bi)
+            state, m = step(state, {"image": x[bi * B:(bi + 1) * B]}, rng,
+                            stage=stage, batch_id=bi, k=k_mined)
+            viol += float(m["margin_violations"])
+        if stage == "warmup" and recipe.stage_for_epoch(e + 1) == "mine":
+            k_mined = recipe.adapt_k(viol / nb, B)
+        print(f"[hairci] epoch {e + 1}/{epochs} stage={stage} "
+              f"loss={float(m['loss']):.3f} k={k_mined} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+
+    feats = jax.jit(recipe.extract_features)
+
+    def features(x_uint8):
+        outs = []
+        for i in range(0, len(x_uint8), 128):
+            outs.append(np.asarray(feats(state, jnp.asarray(
+                x_uint8[i:i + 128]))))
+        return np.concatenate(outs)
+
+    return features
+
+
+def _eval(features, xs_tr, ys_tr, xs_te, ys_te):
+    import jax.numpy as jnp
+
+    f_tr, f_te = features(xs_tr), features(xs_te)
+    return knn_accuracy(jnp.asarray(f_tr), jnp.asarray(ys_tr),
+                        jnp.asarray(f_te), jnp.asarray(ys_te), k=5, classes=C)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--side", default="both",
+                   choices=["both", "torch", "hairci"])
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--warmup", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="/tmp/accuracy_parity.json")
+    args = p.parse_args(argv)
+
+    xs, ys = make_dataset(N_TRAIN + N_TEST, C, SIZE, seed=17)
+    xs_tr, ys_tr = xs[:N_TRAIN], ys[:N_TRAIN]
+    xs_te, ys_te = xs[N_TRAIN:], ys[N_TRAIN:]
+
+    results = {"config": {"epochs": args.epochs, "warmup": args.warmup,
+                          "n_train": N_TRAIN, "n_test": N_TEST,
+                          "size": SIZE, "batch": B, "seed": args.seed}}
+    if args.side in ("both", "torch"):
+        f = train_torch(xs_tr, args.epochs, args.warmup, args.seed)
+        results["torch_top1"] = _eval(f, xs_tr, ys_tr, xs_te, ys_te)
+        print(f"torch SHAM2-equiv kNN@5 top-1: {results['torch_top1']:.4f}")
+    if args.side in ("both", "hairci"):
+        f = train_hairci(xs_tr, args.epochs, args.warmup, args.seed)
+        results["hairci_top1"] = _eval(f, xs_tr, ys_tr, xs_te, ys_te)
+        print(f"hairci SHAM kNN@5 top-1: {results['hairci_top1']:.4f}")
+    if "torch_top1" in results and "hairci_top1" in results:
+        results["delta"] = results["hairci_top1"] - results["torch_top1"]
+        print(f"delta (hairci - torch): {results['delta']:+.4f} "
+              f"(band: ±0.005)")
+    with open(args.out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

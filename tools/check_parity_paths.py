@@ -39,6 +39,20 @@ def main() -> int:
         else:
             missing.append(path)
 
+    # test-file mentions (round-1 lesson: PARITY claimed a dryrun test that
+    # didn't exist) — and `file.py:NNN` line citations must not point past
+    # the end of the file
+    for m in set(re.findall(r"`?(tests/[\w/.\-]+?\.py)", text)):
+        if not os.path.exists(os.path.join(ROOT, m)):
+            missing.append(m)
+    for path, line in set(re.findall(
+            r"`((?:hairci|tools|tests)/[\w/.\-]+?\.py):(\d+)", text)):
+        p = os.path.join(ROOT, path)
+        if os.path.exists(p):
+            n_lines = sum(1 for _ in open(p))
+            if int(line) > n_lines:
+                missing.append(f"{path}:{line} (file has {n_lines} lines)")
+
     # dotted module mentions: hairci.a.b(.c)
     for mod in set(re.findall(r"`(hairci(?:\.\w+)+)", text)):
         rel = mod.replace(".", "/")

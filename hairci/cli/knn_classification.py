@@ -102,7 +102,8 @@ def load_state(recipe, args, sample):
             params, emap = ti.convert_dinov2(sd)
             state = state.replace(params=params, ema_params=emap)
         elif args.mode == "siaMIM":
-            # partial: encoders only (see convert_siameseim docstring)
+            # encoders + decoder stack when the ckpt has one (merge over
+            # init for anything absent — see convert_siameseim docstring)
             params, emap = ti.convert_siameseim(sd)
             state = state.replace(
                 params=ti.merge_params(state.params, params),

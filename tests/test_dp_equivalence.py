@@ -32,12 +32,13 @@ def _images():
 
 
 def _tree_l2(a, b=None):
-    leaves = jax.tree_util.tree_leaves(a)
+    # pull to host first: the trees live on different device sets
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(a)]
     if b is None:
-        sq = sum(float(jnp.vdot(x, x).real) for x in leaves)
+        sq = sum(float(np.vdot(x, x).real) for x in leaves)
     else:
-        lb = jax.tree_util.tree_leaves(b)
-        sq = sum(float(jnp.vdot(x - y, x - y).real)
+        lb = [np.asarray(y) for y in jax.tree_util.tree_leaves(b)]
+        sq = sum(float(np.vdot(x - y, x - y).real)
                  for x, y in zip(leaves, lb))
     return float(np.sqrt(sq))
 

@@ -183,6 +183,29 @@ class TorchAug:
         y = self.blur(y)
         return self.normalize(y)
 
+    def positive_masking(self, x, patch=32, ratio_range=(0.1, 0.5),
+                         thr=0.01):
+        """Mirror of `mask_hair_patches` (`hairci/aug/hair_masking.py`):
+        zero floor(U(lo,hi) * n_hair) random patches whose mean > thr."""
+        B_, H_, W_, _ = x.shape
+        ph, pw = H_ // patch, W_ // patch
+        if ph * pw == 0:
+            return x
+        out = x.copy()
+        for i in range(B_):
+            m = x[i][:ph * patch, :pw * patch].reshape(
+                ph, patch, pw, patch, 3).mean((1, 3, 4))
+            hair = (m > thr).ravel()
+            num = int(np.floor(self.rng.uniform(*ratio_range) * hair.sum()))
+            if num < 1:
+                continue
+            sel = self.rng.choice(np.flatnonzero(hair), num, replace=False)
+            for s in sel:
+                py, px = divmod(int(s), pw)
+                out[i, py * patch:(py + 1) * patch,
+                    px * patch:(px + 1) * patch] = 0
+        return out
+
     def positive_transform(self, x):
         """rotate ±15° nearest + blur(3, sigma in [0.1, 0.5]) on the
         normalized batch (`transform.py:21-24`)."""
@@ -294,9 +317,9 @@ def train_torch(xs_train, epochs, warmup, seed=0):
 
             neg = x_pos1[neg_idx]
             pos = aug.positive_transform(x_pos1)
-            # masking: patch_size=32 == img size -> floor(ratio*1)=0 patches
-            # masked, identical no-op on the hairci side at 32px
-            masked_pos = pos
+            # at 32px patch_size==img -> floor(ratio*1)=0, a no-op on both
+            # sides; at >=64px this mirrors mask_hair_patches
+            masked_pos = aug.positive_masking(pos)
 
             model.train()
             stacked = torch.tensor(
@@ -408,14 +431,18 @@ def _eval(features, xs_tr, ys_tr, xs_te, ys_te):
 
 
 def main(argv=None):
+    global SIZE, N_TRAIN
     p = argparse.ArgumentParser()
     p.add_argument("--side", default="both",
                    choices=["both", "torch", "hairci"])
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--warmup", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--size", type=int, default=SIZE)
+    p.add_argument("--n_train", type=int, default=N_TRAIN)
     p.add_argument("--out", default="/tmp/accuracy_parity.json")
     args = p.parse_args(argv)
+    SIZE, N_TRAIN = args.size, args.n_train
 
     xs, ys = make_dataset(N_TRAIN + N_TEST, C, SIZE, seed=17)
     xs_tr, ys_tr = xs[:N_TRAIN], ys[:N_TRAIN]

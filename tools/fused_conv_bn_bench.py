@@ -107,14 +107,16 @@ def pallas_conv3x3(x, w, b, stats: bool = False):
 # ---------------------------------------------------------------------------
 
 def xla_conv(x, w):
+    # bf16-out like the model path (flax conv): MXU accumulates f32
+    # internally, the materialized activation is bf16 — and the conv
+    # transpose keeps consistent dtypes for the bwd benchmark
     return jax.lax.conv_general_dilated(
         x, w.reshape(3, 3, CIN, COUT), (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def xla_conv_bn_relu(x, w, scale, bias):
-    y = xla_conv(x, w)
+    y = xla_conv(x, w).astype(jnp.float32)
     mu = jnp.mean(y, axis=(0, 1, 2))
     var = jnp.var(y, axis=(0, 1, 2))
     y = (y - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
@@ -148,6 +150,11 @@ def _t(go, it):
 
 
 def main():
+    # relay compiles are slow and uncached: --only lets a rerun finish the
+    # variants a timeout cut off (comma-separated substrings)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(B, H, W, CIN)).astype(np.float32)
@@ -158,16 +165,20 @@ def main():
     scale = jnp.ones((COUT,), jnp.float32)
     beta = jnp.zeros((COUT,), jnp.float32)
 
-    # correctness first
-    ref = np.asarray(xla_conv(x0, w)).reshape(B, H * W, COUT)
-    got = np.asarray(pallas_conv3x3(x0, w, bias)[0]).astype(np.float32)
-    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
-    print(f"pallas vs XLA conv rel err: {err:.2e}", file=sys.stderr)
-    assert err < 2e-2, "pallas conv mismatch"
+    if only is None:
+        # correctness first
+        ref = np.asarray(xla_conv(x0, w)).astype(np.float32).reshape(
+            B, H * W, COUT)
+        got = np.asarray(pallas_conv3x3(x0, w, bias)[0]).astype(np.float32)
+        err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+        print(f"pallas vs XLA conv rel err: {err:.2e}", file=sys.stderr)
+        assert err < 2e-2, "pallas conv mismatch"
 
     results = {}
 
     def bench(name, fn):
+        if only is not None and not any(s in name for s in only):
+            return
         def loop(iters):
             def body(c, _):
                 y = fn(x0 + c.astype(x0.dtype))
@@ -197,12 +208,14 @@ def main():
     print("\nRESULTS (ms | conv-TFLOP/s):")
     for k, (ms, tf) in results.items():
         print(f"  {k:32s} {ms:7.2f} ms  {tf:6.1f}")
-    conv_ms = results["xla_conv_fwd"][0]
-    fused_ms = results["pallas_fused_conv_fwd"][0]
-    bn_overhead = results["xla_conv_bn_relu_fwd"][0] - conv_ms
-    print(f"\nBN+ReLU overhead over bare conv: {bn_overhead:.2f} ms")
-    print(f"pallas/xla conv fwd ratio: {fused_ms / conv_ms:.2f}x "
-          f"({'pallas SLOWER — lever dead' if fused_ms > conv_ms else 'pallas faster — lever live'})")
+    if {"xla_conv_fwd", "xla_conv_bn_relu_fwd",
+            "pallas_fused_conv_fwd"} <= set(results):
+        conv_ms = results["xla_conv_fwd"][0]
+        fused_ms = results["pallas_fused_conv_fwd"][0]
+        bn_overhead = results["xla_conv_bn_relu_fwd"][0] - conv_ms
+        print(f"\nBN+ReLU overhead over bare conv: {bn_overhead:.2f} ms")
+        print(f"pallas/xla conv fwd ratio: {fused_ms / conv_ms:.2f}x "
+              f"({'pallas SLOWER — lever dead' if fused_ms > conv_ms else 'pallas faster — lever live'})")
 
 
 if __name__ == "__main__":

@@ -104,10 +104,13 @@ def load_state(recipe, args, sample):
         elif args.mode == "siaMIM":
             # encoders + decoder stack when the ckpt has one (merge over
             # init for anything absent — see convert_siameseim docstring)
-            params, emap = ti.convert_siameseim(sd)
+            params, stats, emap, emastats = ti.convert_siameseim(sd)
             state = state.replace(
                 params=ti.merge_params(state.params, params),
-                ema_params=ti.merge_params(state.ema_params, emap))
+                batch_stats=ti.merge_params(state.batch_stats, stats),
+                ema_params=ti.merge_params(state.ema_params, emap),
+                ema_batch_stats=ti.merge_params(
+                    state.ema_batch_stats, emastats))
         else:
             raise SystemExit(
                 f"torch import for mode {args.mode} not wired; convert with "

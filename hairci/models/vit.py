@@ -171,16 +171,27 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     init_values: Optional[float] = None  # LayerScale (DINOv2 uses it)
+    norm: str = "ln"  # "ln" | "permute_bn" (SiameseIM decoder blocks,
+    # reference `backbone.py:1280-1292`: `norm_layer if use_*_ln else
+    # PermuteBN`, default PermuteBN)
+
+    def _norm(self, name: str, x, train: bool):
+        if self.norm == "permute_bn":
+            from hairci.models.heads import PermuteBN
+
+            return PermuteBN(name=name)(x, train=train)
+        return _ln(name)(x)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         D = x.shape[-1]
-        y = Attention(self.num_heads, dtype=self.dtype, name="attn")(_ln("norm1")(x))
+        y = Attention(self.num_heads, dtype=self.dtype, name="attn")(
+            self._norm("norm1", x, train))
         if self.init_values is not None:
             y = LayerScale(D, self.init_values, name="ls1")(y)
         x = x + y
         y = Mlp(int(D * self.mlp_ratio), D, dtype=self.dtype, name="mlp")(
-            _ln("norm2")(x)
+            self._norm("norm2", x, train)
         )
         if self.init_values is not None:
             y = LayerScale(D, self.init_values, name="ls2")(y)

@@ -477,50 +477,89 @@ def convert_dinov2(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
     return params, ema_params
 
 
-def convert_siameseim(sd: StateDict, depth: int = 12) -> Tuple[dict, dict]:
+def _siam_decoder_block(sd: StateDict, t: str) -> Tuple[dict, dict]:
+    """SiameseIM decoder Block whose norms are either LayerNorm
+    (`use_*_ln`) or PermuteBN (`backbone.py:1202-1215,1280-1292`,
+    `{t}.normN.bn.*` keys). Returns (params, batch_stats)."""
+    params = _timm_block(sd, t) if f"{t}.norm1.weight" in sd else None
+    if params is not None:
+        return params, {}
+    params = {
+        "attn": {
+            "qkv": {"kernel": _linear(sd[f"{t}.attn.qkv.weight"]),
+                    "bias": sd[f"{t}.attn.qkv.bias"]},
+            "proj": {"kernel": _linear(sd[f"{t}.attn.proj.weight"]),
+                     "bias": sd[f"{t}.attn.proj.bias"]},
+        },
+        "mlp": {
+            "fc1": {"kernel": _linear(sd[f"{t}.mlp.fc1.weight"]),
+                    "bias": sd[f"{t}.mlp.fc1.bias"]},
+            "fc2": {"kernel": _linear(sd[f"{t}.mlp.fc2.weight"]),
+                    "bias": sd[f"{t}.mlp.fc2.bias"]},
+        },
+    }
+    stats = {}
+    for n in ("norm1", "norm2"):
+        params[n] = {"BatchNorm_0": {"scale": sd[f"{t}.{n}.bn.weight"],
+                                     "bias": sd[f"{t}.{n}.bn.bias"]}}
+        stats[n] = {"BatchNorm_0": {
+            "mean": sd[f"{t}.{n}.bn.running_mean"],
+            "var": sd[f"{t}.{n}.bn.running_var"]}}
+    return params, stats
+
+
+def convert_siameseim(sd: StateDict, depth: int = 12
+                      ) -> Tuple[dict, dict, dict, dict]:
     """Reference `SiameseIMViT` (`backbone.py:1217-1719`) → hairci
-    SiameseIMModule: (params, ema_params) carrying the online encoder (+
-    decoder stack when the checkpoint has one: `decoder_embed`,
-    `projector_decoder_blocks`, `predictor_decoder_blocks`, `decoder_pred`,
-    `decoder_pos_mlp`, `mask_token` — `backbone.py:1268-1303`) and the
-    momentum (`mm_*`) copies (`build_momentum_target`,
-    `backbone.py:1318-1372`). Merge the returned trees over an initialized
-    state with `merge_params`."""
-    ep, _ = convert_vit(sd, depth=depth)
+    SiameseIMModule: (params, batch_stats, ema_params, ema_batch_stats)
+    carrying the online encoder (+ decoder stack when the checkpoint has
+    one: `decoder_embed`, `projector_decoder_blocks` (LN or PermuteBN),
+    `predictor_decoder_blocks`, `decoder_pred`, `decoder_pos_mlp`,
+    `mask_token` — `backbone.py:1268-1303`) and the momentum (`mm_*`)
+    copies (`build_momentum_target`, `backbone.py:1318-1372`). Merge the
+    returned trees over an initialized state with `merge_params`."""
+    # SiameseIM's mask_token is DECODER-width and top-level
+    # (`backbone.py:1271`) — hide it from convert_vit, which would map it
+    # into the encoder subtree (the MAE layout); decoder_stack places it
     mm = {k[3:]: v for k, v in sd.items() if k.startswith("mm_")}
     mm["pos_embed"] = sd["pos_embed"]  # fixed sincos, shared by both branches
-    emp, _ = convert_vit(mm, depth=depth)
+    ep, _ = convert_vit(
+        {k: v for k, v in sd.items() if k != "mask_token"}, depth=depth)
+    emp, _ = convert_vit(
+        {k: v for k, v in mm.items() if k != "mask_token"}, depth=depth)
     params, emap = {"encoder": ep}, {"encoder": emp}
+    stats, emastats = {}, {}
 
-    def decoder_stack(src: StateDict, tree: dict, online: bool) -> None:
+    def decoder_stack(src: StateDict, tree: dict, st: dict,
+                      online: bool) -> None:
         if "decoder_embed.weight" not in src:
             return
         tree["decoder_embed"] = {
             "kernel": _linear(src["decoder_embed.weight"]),
             "bias": src["decoder_embed.bias"]}
         tree["mask_token"] = src["mask_token"]
-        i = 0
-        while f"projector_decoder_blocks.{i}.norm1.weight" in src:
-            tree[f"projector_blocks_{i}"] = _timm_block(
-                src, f"projector_decoder_blocks.{i}")
-            i += 1
+
+        def blocks(torch_prefix, flax_prefix):
+            i = 0
+            while (f"{torch_prefix}.{i}.attn.qkv.weight") in src:
+                p, s = _siam_decoder_block(src, f"{torch_prefix}.{i}")
+                tree[f"{flax_prefix}_{i}"] = p
+                if s:
+                    st[f"{flax_prefix}_{i}"] = s
+                i += 1
+
+        blocks("projector_decoder_blocks", "projector_blocks")
         if not online:
             return  # the mm branch stops at the projector (backbone.py:1345-1367)
-        i = 0
-        while f"predictor_decoder_blocks.{i}.norm1.weight" in src:
-            tree[f"predictor_blocks_{i}"] = _timm_block(
-                src, f"predictor_decoder_blocks.{i}")
-            i += 1
-        for torch_name, flax_name in (("decoder_pred", "decoder_pred"),
-                                      ("decoder_pos_mlp", "decoder_pos_mlp")):
-            if f"{torch_name}.weight" in src:
-                tree[flax_name] = {
-                    "kernel": _linear(src[f"{torch_name}.weight"]),
-                    "bias": src[f"{torch_name}.bias"]}
+        blocks("predictor_decoder_blocks", "predictor_blocks")
+        for name in ("decoder_pred", "decoder_pos_mlp"):
+            if f"{name}.weight" in src:
+                tree[name] = {"kernel": _linear(src[f"{name}.weight"]),
+                              "bias": src[f"{name}.bias"]}
 
-    decoder_stack(sd, params, online=True)
-    decoder_stack(mm, emap, online=False)
-    return params, emap
+    decoder_stack(sd, params, stats, online=True)
+    decoder_stack(mm, emap, emastats, online=False)
+    return params, stats, emap, emastats
 
 
 def merge_params(base, override):

@@ -19,11 +19,10 @@
     collective), `(pos + neg_weight*neg)/dim` scaling.
 
 Blockwise masking is gated like `--with_blockwise_mask`
-(`scripts/train_hair_repsentation.sh`).
-
-Deviation (documented in PARITY.md): projector/predictor block norms are
-LayerNorm (the reference's `use_proj_ln`/`use_pred_ln` choose LayerNorm or
-PermuteBN; its defaults live in the external SiameseIM repo's args).
+(`scripts/train_hair_repsentation.sh`). Projector/predictor block norms
+default to PermuteBN like the reference's `norm_layer if use_*_ln else
+PermuteBN` with store_true flags (`backbone.py:1280-1292`);
+``block_norm="ln"`` selects the `use_*_ln` variant.
 """
 
 from __future__ import annotations
@@ -104,6 +103,9 @@ class SiameseIMModule(nn.Module):
     decoder_num_heads: int = 16
     projector_depth: int = 2
     predictor_depth: int = 4
+    block_norm: str = "permute_bn"  # reference default: `norm_layer if
+    # args.use_proj_ln/use_pred_ln else PermuteBN` with store_true flags
+    # (`backbone.py:1280-1292`) -> PermuteBN; "ln" = the use_*_ln variant
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -114,10 +116,12 @@ class SiameseIMModule(nn.Module):
                                  final_norm=False, dtype=self.dtype)
         self.decoder_embed = nn.Dense(self.decoder_dim, dtype=self.dtype)
         self.projector_blocks = [
-            Block(self.decoder_num_heads, dtype=self.dtype)
+            Block(self.decoder_num_heads, dtype=self.dtype,
+                  norm=self.block_norm)
             for _ in range(self.projector_depth)]
         self.predictor_blocks = [
-            Block(self.decoder_num_heads, dtype=self.dtype)
+            Block(self.decoder_num_heads, dtype=self.dtype,
+                  norm=self.block_norm)
             for _ in range(self.predictor_depth)]
         # decoder_pred: decoder_dim -> decoder_dim (`backbone.py:1289`)
         self.decoder_pred = nn.Dense(self.decoder_dim, dtype=self.dtype)
@@ -128,14 +132,14 @@ class SiameseIMModule(nn.Module):
             "mask_token", nn.initializers.normal(0.02),
             (1, 1, self.decoder_dim))
 
-    def _project(self, tokens):
+    def _project(self, tokens, train: bool = True):
         """``decoder_embed`` + projector blocks. Gradient-trained on the
         online path (`backbone.py:1584-1588`); applied with ``ema_params``
         it IS the reference's `mm_decoder_embed`/`mm_projector_decoder_blocks`
         (`backbone.py:1625-1631`) — one set of modules, two parameter trees."""
         t = self.decoder_embed(tokens)
         for blk in self.projector_blocks:
-            t = blk(t)
+            t = blk(t, train=train)
         return t
 
     def _decoder_pos(self) -> jnp.ndarray:
@@ -148,7 +152,7 @@ class SiameseIMModule(nn.Module):
         view2's positions. rel_pos (B, N, 2*decoder_dim) raw relative
         sincos."""
         tokens = self.encoder(x, ids_keep=ids_keep, train=train)  # (B,K+1,D)
-        tokens = self._project(tokens)                      # (B, K+1, dec)
+        tokens = self._project(tokens, train=train)         # (B, K+1, dec)
         pe = self._decoder_pos().astype(tokens.dtype)
         vis_pe = jnp.take(pe[1:], ids_keep, axis=0)         # (B, K, dec)
         x2_pe = self.decoder_pos_mlp(rel_pos.astype(tokens.dtype))
@@ -161,7 +165,7 @@ class SiameseIMModule(nn.Module):
             queries + x2_pe,
         ], axis=1)
         for blk in self.predictor_blocks:
-            seq = blk(seq)
+            seq = blk(seq, train=train)
         pred = self.decoder_pred(seq[:, -N:])
         return pred.astype(jnp.float32)  # (B, N, dec)
 
@@ -171,7 +175,7 @@ class SiameseIMModule(nn.Module):
         reference's momentum branch (`backbone.py:1614-1632`). Returns the
         patch tokens (cls dropped)."""
         tokens = self.encoder(x, train=train)
-        tokens = self._project(tokens)
+        tokens = self._project(tokens, train=train)
         return tokens[:, 1:].astype(jnp.float32)  # (B, N, dec)
 
     def extract_features(self, x, train: bool = False):
@@ -195,6 +199,7 @@ class SiameseIMRecipe:
         decoder_num_heads: int = 16,
         projector_depth: int = 2,
         predictor_depth: int = 4,
+        block_norm: str = "permute_bn",
         dtype: Any = jnp.bfloat16,
         epochs: int = 100,
         **_unused,
@@ -205,7 +210,7 @@ class SiameseIMRecipe:
             backbone_name=backbone, img_size=img_size,
             decoder_dim=decoder_dim, decoder_num_heads=decoder_num_heads,
             projector_depth=projector_depth, predictor_depth=predictor_depth,
-            dtype=dtype)
+            block_norm=block_norm, dtype=dtype)
         self.img_size = img_size
         self.mask_ratio = mask_ratio
         self.with_blockwise_mask = with_blockwise_mask
@@ -251,10 +256,14 @@ class SiameseIMRecipe:
         variables = self.module.init(rng, v1, ids_keep, rel, train=True,
                                      method=self.module.online_forward)
         params = variables["params"]
+        # PermuteBN decoder blocks carry running stats; the mm branch gets
+        # an exact copy like the reference's load_state_dict
+        batch_stats = variables.get("batch_stats", {})
         return TrainState(
-            step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats,
             opt_state=self.tx.init(params), tx=self.tx,
-            ema_params=params, ema_batch_stats={})
+            ema_params=params, ema_batch_stats=batch_stats)
 
     def train_step(self, state: TrainState, batch, rng,
                    momentum: float | jnp.ndarray = 0.996
@@ -266,27 +275,34 @@ class SiameseIMRecipe:
         rel = self._rel(b1, b2)
 
         # mm_update BEFORE the target forward, like `forward_sim`
-        # (`backbone.py:1615-1617`)
+        # (`backbone.py:1615-1617`); running BN stats track like params
         ema_params = ema_update(state.ema_params, state.params, momentum)
-        state = state.replace(ema_params=ema_params)
+        ema_bs = ema_update(state.ema_batch_stats, state.batch_stats,
+                            momentum)
+        state = state.replace(ema_params=ema_params, ema_batch_stats=ema_bs)
 
-        target = self.module.apply({"params": state.ema_params}, v2,
-                                   train=False,
-                                   method=self.module.target_forward)
+        target = self.module.apply(
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            v2, train=False, method=self.module.target_forward)
         target = jax.lax.stop_gradient(target)
 
         def loss_fn(params):
-            pred = self.module.apply({"params": params}, v1, ids_keep, rel,
-                                     train=True,
-                                     method=self.module.online_forward)
+            pred, updates = self.module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                v1, ids_keep, rel, train=True, mutable=["batch_stats"],
+                method=self.module.online_forward)
             B, N, D = pred.shape
-            return unigrad_loss(pred.reshape(B * N, D),
+            loss = unigrad_loss(pred.reshape(B * N, D),
                                 target.reshape(B * N, D), self.neg_weight)
+            return loss, updates.get("batch_stats", state.batch_stats)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads), {"loss": loss}
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return (state.apply_gradients(grads, batch_stats=new_bs),
+                {"loss": loss})
 
     def extract_features(self, state: TrainState, images) -> jnp.ndarray:
         x = knn_transform(images, self.img_size)
-        return self.module.apply({"params": state.params}, x, train=False,
-                                 method=self.module.extract_features)
+        return self.module.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False, method=self.module.extract_features)

@@ -757,7 +757,7 @@ def test_convert_siameseim_encoder_parity():
             continue
         sd["mm_" + fix(k)] = v.detach().numpy()
 
-    params, emap = convert_siameseim(sd, depth=2)
+    params, _stats, emap, _emastats = convert_siameseim(sd, depth=2)
     fm = VisionTransformer(patch_size=16, embed_dim=64, depth=2, num_heads=4,
                            img_size=32, sincos_pos_embed=False,
                            final_norm=False)
@@ -960,3 +960,78 @@ def test_export_sham2_loads_in_reference_layout(tmp_path):
                          jnp.ones((1, 32, 32, 3)), train=False,
                          method=module.extract_features)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_convert_siameseim_permutebn_decoder_structure():
+    """Decoder-stack conversion (PermuteBN norm layout) produces exactly the
+    shapes SiameseIMModule initializes — params AND running stats, online
+    and mm branches (`backbone.py:1268-1303,1318-1372`)."""
+    from hairci.retrieval.torch_import import convert_siameseim, merge_params
+    from hairci.ssl import build_recipe
+
+    torch.manual_seed(33)
+    d_enc, dec = 192, 64
+    rng = np.random.default_rng(34)
+
+    def rnd(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    enc = TorchSiamEncoder(d=d_enc, h=3, depth=12)
+
+    def fix(k):
+        return "patch_embed." + k if k.startswith("proj.") else k
+
+    sd = {fix(k): v.detach().numpy() for k, v in enc.state_dict().items()}
+    for k, v in enc.state_dict().items():
+        if k != "pos_embed":
+            sd["mm_" + fix(k)] = v.detach().numpy()
+
+    def dec_block(prefix):
+        sd[f"{prefix}.attn.qkv.weight"] = rnd(3 * dec, dec)
+        sd[f"{prefix}.attn.qkv.bias"] = rnd(3 * dec)
+        sd[f"{prefix}.attn.proj.weight"] = rnd(dec, dec)
+        sd[f"{prefix}.attn.proj.bias"] = rnd(dec)
+        sd[f"{prefix}.mlp.fc1.weight"] = rnd(4 * dec, dec)
+        sd[f"{prefix}.mlp.fc1.bias"] = rnd(4 * dec)
+        sd[f"{prefix}.mlp.fc2.weight"] = rnd(dec, 4 * dec)
+        sd[f"{prefix}.mlp.fc2.bias"] = rnd(dec)
+        for n in ("norm1", "norm2"):
+            sd[f"{prefix}.{n}.bn.weight"] = rnd(dec)
+            sd[f"{prefix}.{n}.bn.bias"] = rnd(dec)
+            sd[f"{prefix}.{n}.bn.running_mean"] = rnd(dec)
+            sd[f"{prefix}.{n}.bn.running_var"] = np.abs(rnd(dec)) + 0.5
+
+    for side in ("", "mm_"):
+        sd[f"{side}decoder_embed.weight"] = rnd(dec, d_enc)
+        sd[f"{side}decoder_embed.bias"] = rnd(dec)
+        sd[f"{side}mask_token"] = rnd(1, 1, dec)
+        dec_block(f"{side}projector_decoder_blocks.0")
+    dec_block("predictor_decoder_blocks.0")
+    dec_block("predictor_decoder_blocks.1")
+    sd["decoder_pred.weight"] = rnd(dec, dec)
+    sd["decoder_pred.bias"] = rnd(dec)
+    sd["decoder_pos_mlp.weight"] = rnd(dec, 2 * dec)
+    sd["decoder_pos_mlp.bias"] = rnd(dec)
+
+    params, stats, emap, emastats = convert_siameseim(sd, depth=12)
+    r = build_recipe("siameseim", backbone="vit_tiny_patch16", img_size=32,
+                     dtype=jnp.float32, decoder_dim=dec, decoder_num_heads=4,
+                     projector_depth=1, predictor_depth=2)
+    imgs = jnp.asarray(np.zeros((2, 48, 48, 3), np.uint8))
+    state = r.create_state(jax.random.key(0), imgs)
+
+    def shapes(t):
+        return jax.tree_util.tree_map(lambda a: jnp.shape(a), t)
+
+    merged = merge_params(state.params, params)
+    assert shapes(merged) == shapes(state.params)
+    merged_bs = merge_params(state.batch_stats, stats)
+    assert shapes(merged_bs) == shapes(state.batch_stats)
+    # the converted subtrees actually landed (not silently dropped)
+    for key in ("decoder_embed", "projector_blocks_0", "predictor_blocks_1",
+                "decoder_pred", "decoder_pos_mlp"):
+        assert key in params, key
+    assert "projector_blocks_0" in stats and "norm1" in stats["projector_blocks_0"]
+    assert "projector_blocks_0" in emap and "projector_blocks_0" in emastats
+    # mm branch: exactly encoder + projector, no predictor (backbone.py:1345-1367)
+    assert "predictor_blocks_0" not in emap

@@ -180,7 +180,9 @@ class TorchAug:
         y = self.hflip(y)
         y = self.color_jitter(y)
         y = self.grayscale(y)
-        y = self.blur(y)
+        k = int(0.1 * self.size)  # lightly kernel ≈ 0.1*size, odd (mirrors
+        k = k + 1 if k % 2 == 0 else max(k, 3)  # hairci _blur_kernel_size)
+        y = self.blur(y, ksize=max(k, 3))
         return self.normalize(y)
 
     def positive_masking(self, x, patch=32, ratio_range=(0.1, 0.5),

@@ -28,11 +28,12 @@ import numpy as np
 BASELINE_EMBED_IPS = 2200.0
 BASELINE_TRAIN_IPS = 800.0   # A100 torch SimCLR RN50 fwd+bwd estimate
 BATCH = 256
-# MFU denominators: TPU v5e nominal bf16 peak, and the ~max this (shared/
-# throttled) relay chip has ever sustained on the inference path
-# (BENCH_RESULTS.md "Known relay-environment caveats").
+# MFU denominators: TPU v5e nominal bf16 peak, and the max this relay chip
+# has measurably sustained — 122 TFLOP/s on an isolated bs-256 56x56x64 3x3
+# bf16 conv, ~179 TF/s effective on its fwd+bwd
+# (tools/fused_conv_bn_bench.py, r2).
 V5E_PEAK_FLOPS = 197e12
-OBSERVED_SUSTAIN_FLOPS = 60e12
+OBSERVED_SUSTAIN_FLOPS = 122e12
 # SimCLR RN50 bs-256 model FLOPs per step: 2 views x fwd+bwd convs+matmuls,
 # 6.3e12 from the compiled-HLO conv inventory (BENCH_RESULTS.md
 # "BN-reduce investigation").

@@ -163,11 +163,10 @@ class TorchAug:
             k /= k.sum()
             kh = torch.tensor(k, dtype=torch.float32).view(1, 1, 1, ksize)
             kv = kh.view(1, 1, ksize, 1)
-            img = t[i:i + 1]
-            img = F.conv2d(img, kh.expand(Ch, 1, 1, ksize), padding=(0, half),
-                           groups=Ch)
-            img = F.conv2d(img, kv.expand(Ch, 1, ksize, 1), padding=(half, 0),
-                           groups=Ch)
+            # reflect padding like hairci's gaussian_blur (aug/ops.py:336)
+            img = F.pad(t[i:i + 1], (half, half, half, half), mode="reflect")
+            img = F.conv2d(img, kh.expand(Ch, 1, 1, ksize), groups=Ch)
+            img = F.conv2d(img, kv.expand(Ch, 1, ksize, 1), groups=Ch)
             out[i] = img[0].permute(1, 2, 0).numpy()
         return out
 
@@ -229,7 +228,8 @@ class TorchAug:
         return self.blur(y, 3, (0.1, 0.5), p=1.0)
 
 
-def train_torch(xs_train, epochs, warmup, seed=0):
+def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
+                diag_every=0):
     import torch
     import torch.nn.functional as F
     from torch import nn
@@ -355,8 +355,10 @@ def train_torch(xs_train, epochs, warmup, seed=0):
             v = viol_total / nb / B
             k_mined = max(2, round((1 - v) * 10))
         print(f"[torch] epoch {e + 1}/{epochs} stage={stage} "
-              f"loss={float(loss):.3f} k={k_mined} "
+              f"loss={float(loss.detach()):.3f} k={k_mined} "
               f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+        if diag_every and diag_data is not None and (e + 1) % diag_every == 0:
+            _torch_diag(model, diag_data, e + 1)
 
     def features(x_uint8):
         model.eval()
@@ -370,6 +372,48 @@ def train_torch(xs_train, epochs, warmup, seed=0):
         return np.concatenate(outs)
 
     return features
+
+
+def _torch_diag(model, diag_data, epoch):
+    """Mid-training probe: kNN top-1 with eval-mode BN (running stats) vs
+    train-mode BN (batch stats), plus feature spread — distinguishes
+    'features collapsed' from 'running stats drifted'."""
+    import copy
+
+    import torch
+
+    xs_tr, ys_tr, xs_te, ys_te = diag_data
+
+    def feats(m, train_bn):
+        m = copy.deepcopy(m)
+        m.eval()
+        if train_bn:
+            for mod in m.modules():
+                if isinstance(mod, (torch.nn.BatchNorm1d,
+                                    torch.nn.BatchNorm2d)):
+                    mod.train()
+        outs = []
+        with torch.no_grad():
+            for x in (xs_tr, xs_te):
+                for i in range(0, len(x), 128):
+                    xb = x[i:i + 128].astype(np.float32) / 255.0
+                    xb = TorchAug.normalize(xb)
+                    outs.append(m.backbone(torch.tensor(
+                        xb.transpose(0, 3, 1, 2))).numpy())
+        f = np.concatenate(outs)
+        return f[:len(xs_tr)], f[len(xs_tr):]
+
+    import jax.numpy as jnp
+    for label, train_bn in (("running-BN", False), ("batch-BN", True)):
+        ftr, fte = feats(model, train_bn)
+        acc = knn_accuracy(jnp.asarray(ftr), jnp.asarray(ys_tr),
+                           jnp.asarray(fte), jnp.asarray(ys_te),
+                           k=5, classes=C)
+        fn = ftr / (np.linalg.norm(ftr, axis=1, keepdims=True) + 1e-9)
+        spread = float(np.linalg.norm(fn - fn.mean(0), axis=1).mean())
+        print(f"[torch diag e{epoch}] {label}: top1={acc:.4f} "
+              f"feat_std={ftr.std():.4f} unit_spread={spread:.4f}",
+              file=sys.stderr)
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +487,9 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=SIZE)
     p.add_argument("--n_train", type=int, default=N_TRAIN)
     p.add_argument("--out", default="/tmp/accuracy_parity.json")
+    p.add_argument("--diag_every", type=int, default=0,
+                   help="torch side: every N epochs print kNN top-1 under "
+                        "running-BN vs batch-BN plus feature spread")
     args = p.parse_args(argv)
     SIZE, N_TRAIN = args.size, args.n_train
 
@@ -454,7 +501,9 @@ def main(argv=None):
                           "n_train": N_TRAIN, "n_test": N_TEST,
                           "size": SIZE, "batch": B, "seed": args.seed}}
     if args.side in ("both", "torch"):
-        f = train_torch(xs_tr, args.epochs, args.warmup, args.seed)
+        f = train_torch(xs_tr, args.epochs, args.warmup, args.seed,
+                        diag_data=(xs_tr, ys_tr, xs_te, ys_te),
+                        diag_every=args.diag_every)
         results["torch_top1"] = _eval(f, xs_tr, ys_tr, xs_te, ys_te)
         print(f"torch SHAM2-equiv kNN@5 top-1: {results['torch_top1']:.4f}")
     if args.side in ("both", "hairci"):

@@ -118,8 +118,17 @@ def load_state(recipe, args, sample):
         logging.info("torch checkpoint converted from %s",
                      args.checkpoint_path)
     elif args.checkpoint_path:
-        state = ckpt_lib.restore_params_only(args.checkpoint_path, state)
-        logging.info("checkpoint loaded from %s", args.checkpoint_path)
+        # Accept a run dir or its checkpoints/ folder too, resolving to the
+        # newest checkpoint (`get_latest_checkpoint` convenience the
+        # reference applies on resume, utils/utils.py:120-137).
+        path = args.checkpoint_path
+        for cand in (path, os.path.join(path, "checkpoints")):
+            latest = ckpt_lib.get_latest_checkpoint(cand)
+            if latest:
+                path = latest
+                break
+        state = ckpt_lib.restore_params_only(path, state)
+        logging.info("checkpoint loaded from %s", path)
     else:
         logging.warning("no --checkpoint_path; evaluating random init")
     return state

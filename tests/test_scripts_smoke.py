@@ -19,7 +19,9 @@ def test_committed_manifests_consistent():
     import csv
 
     for name in ("data_train.csv", "data_test.csv",
-                 "data_train_full_face.csv", "data_train_combination3.csv"):
+                 "data_train_full_face.csv", "data_train_combination3.csv",
+                 "figaro_training.csv", "figaro_testing.csv",
+                 "k_hairstyle_training.csv", "k_hairstyle_testing.csv"):
         path = os.path.join(REPO, "HairPretraining/data", name)
         with open(path) as f:
             rows = list(csv.DictReader(f))
@@ -47,6 +49,20 @@ def test_pretrain_script_runs_from_fresh_clone(tmp_path):
          "--save_path", str(tmp_path / "out")],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, (proc.stdout[-1500:], proc.stderr[-1500:])
-    runs = list((tmp_path / "out").glob("**/checkpoints")) or \
-        list((tmp_path / "out").glob("**/*"))
+    runs = list((tmp_path / "out").glob("**/model_ckpt_latest"))
     assert runs, "no training artifacts written"
+
+    # Chain the figaro benchmark kNN script off the checkpoint just written —
+    # proves the sample figaro_*.csv manifests drive a real eval out-of-box.
+    # CKPT is the run dir: the CLI resolves the latest checkpoint inside.
+    knn = os.path.join(
+        REPO, "HairPretraining/scripts/classification/figaro/knn_simclr.sh")
+    env["CKPT"] = str(runs[0].parent)
+    proc = subprocess.run(
+        ["bash", knn,
+         "--model", "resnet18", "--size", "32", "--batch_size", "8",
+         "--num_workers", "2", "--save_path", str(tmp_path / "figaro_out")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (proc.stdout[-1500:], proc.stderr[-1500:])
+    results = list((tmp_path / "figaro_out").glob("**/*.txt"))
+    assert results, "no kNN result artifacts written"

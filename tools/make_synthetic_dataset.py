@@ -11,13 +11,53 @@ import numpy as np
 from PIL import Image
 
 
+def write_benchmark_manifests(out: str) -> None:
+    """Derive figaro_* / k_hairstyle_* sample manifests from the existing
+    data_{train,test}.csv in ``out``.
+
+    The reference's classification scripts reference
+    ``figaro_{training,testing}.csv`` and ``k_hairstyle_{training,testing}.csv``
+    (e.g. /root/reference/HairPretraining/scripts/classification/figaro/knn_our.sh)
+    but ships neither — SURVEY.md §2.1 "not present in repo". These sample
+    stand-ins reuse the committed synthetic images with benchmark-shaped
+    splits so every script runs out-of-box: figaro coarsens to 4 classes
+    with a 75% split; k_hairstyle keeps all classes with an interleaved
+    3:1 split.
+    """
+    rows = []
+    for name in ("data_train.csv", "data_test.csv"):
+        with open(os.path.join(out, name)) as f:
+            rows += [ln.strip() for ln in f.readlines()[1:] if ln.strip()]
+    rows.sort()  # by zero-padded stem → deterministic
+
+    def _write(name, lines):
+        with open(os.path.join(out, name), "w") as f:
+            f.write("\n".join(["id,class"] + lines) + "\n")
+
+    figaro = [f"{r.split(',')[0]},{int(r.split(',')[1]) % 4}" for r in rows]
+    split = int(len(figaro) * 0.75)
+    _write("figaro_training.csv", figaro[:split])
+    _write("figaro_testing.csv", figaro[split:])
+    _write("k_hairstyle_training.csv",
+           [r for i, r in enumerate(rows) if i % 4 != 3])
+    _write("k_hairstyle_testing.csv",
+           [r for i, r in enumerate(rows) if i % 4 == 3])
+    print(f"wrote figaro/k_hairstyle sample manifests to {out}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--classes", type=int, default=8)
     p.add_argument("--size", type=int, default=128)
+    p.add_argument("--benchmarks_only", action="store_true",
+                   help="only (re)derive figaro/k_hairstyle CSVs from the "
+                        "existing data_{train,test}.csv in --out")
     args = p.parse_args(argv)
+    if args.benchmarks_only:
+        write_benchmark_manifests(args.out)
+        return
 
     img_dir = os.path.join(args.out, "hair_regions")
     os.makedirs(img_dir, exist_ok=True)
@@ -45,6 +85,7 @@ def main(argv=None) -> None:
         f.write("\n".join(rows[:1] + rows[1:split + 1]) + "\n")
     with open(os.path.join(args.out, "data_test.csv"), "w") as f:
         f.write("\n".join(rows[:1] + rows[split + 1:]) + "\n")
+    write_benchmark_manifests(args.out)
     print(f"wrote {args.n} pairs to {args.out}")
 
 

@@ -79,8 +79,14 @@ class DemoPipeline:
 
     def build_index(self, dataset_path: str, force: bool = False
                     ) -> GalleryIndex:
+        faiss_file = os.path.join(self.index_dir, "index_hair_region.index")
         if not force and GalleryIndex.exists(self.index_dir):
             self.index = GalleryIndex.load(self.index_dir)
+        elif not force and os.path.exists(faiss_file):
+            # artifacts persisted by the reference demo (inference.py:96-98)
+            from hairci.retrieval.faiss_io import load_faiss_flat
+
+            self.index = load_faiss_flat(faiss_file)
         else:
             self.index = self.encoder.extract_dataset_features(
                 dataset_path, self.index_dir)

@@ -41,6 +41,7 @@ class ViewConfig:
     grayscale_p: float = 0.2
     blur_p: float = 0.5
     blur_sigma: Tuple[float, float] = (0.1, 2.0)
+    blur_kernel: int | None = None  # None → lightly's 0.1*size rule
     solarize_p: float = 0.0
     normalize: bool = True
 
@@ -58,7 +59,7 @@ class ViewConfig:
             x = ops.random_grayscale(ks[3], x, p=self.grayscale_p)
         if self.blur_p > 0:
             x = ops.gaussian_blur(
-                ks[4], x, _blur_kernel_size(self.size),
+                ks[4], x, self.blur_kernel or _blur_kernel_size(self.size),
                 sigma_range=self.blur_sigma, p=self.blur_p)
         if self.solarize_p > 0:
             x = ops.random_solarize(ks[5], x, p=self.solarize_p)

@@ -67,6 +67,8 @@ def recipe_for_eval(args):
 
 
 def load_state(recipe, args, sample):
+    """Returns (recipe, state) — the recipe may be rebuilt to match the
+    checkpoint's variant (siaMIM decoder-norm layout)."""
     state = recipe.create_state(jax.random.key(args.seed), sample)
     if args.checkpoint_path and args.checkpoint_path.endswith((".pth", ".pt")):
         # reference-trained torch checkpoint → converted weights
@@ -102,6 +104,21 @@ def load_state(recipe, args, sample):
             params, emap = ti.convert_dinov2(sd)
             state = state.replace(params=params, ema_params=emap)
         elif args.mode == "siaMIM":
+            # LN-variant checkpoints (`use_proj_ln`/`use_pred_ln`,
+            # backbone.py:1280-1292) carry LayerNorm decoder-block norms;
+            # the module must be built with the matching `block_norm` or
+            # the converted params merge into a corrupt tree. Detect from
+            # the torch keys and rebuild the recipe when they disagree.
+            want = ti.siameseim_block_norm(sd)
+            if want != getattr(recipe, "block_norm", "permute_bn"):
+                from hairci.ssl import build_recipe
+
+                recipe = build_recipe(
+                    "siameseim", backbone=args.model, img_size=args.size,
+                    dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                    else jnp.float32, block_norm=want)
+                state = recipe.create_state(jax.random.key(args.seed),
+                                            sample)
             # encoders + decoder stack when the ckpt has one (merge over
             # init for anything absent — see convert_siameseim docstring)
             params, stats, emap, emastats = ti.convert_siameseim(sd)
@@ -131,7 +148,7 @@ def load_state(recipe, args, sample):
         logging.info("checkpoint loaded from %s", path)
     else:
         logging.warning("no --checkpoint_path; evaluating random init")
-    return state
+    return recipe, state
 
 
 def main(argv=None) -> None:
@@ -158,7 +175,7 @@ def main(argv=None) -> None:
     recipe = recipe_for_eval(args)
     sample = jnp.zeros((min(args.batch_size, 8), args.size, args.size, 3),
                        jnp.uint8)
-    state = load_state(recipe, args, sample)
+    recipe, state = load_state(recipe, args, sample)
 
     def embed_fn(images):
         return recipe.extract_features(state, images)

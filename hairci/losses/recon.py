@@ -65,22 +65,27 @@ def masked_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 
 def _standardize(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Non-affine LayerNorm over the feature axis (the reference's
-    `student_norm` is a LayerNorm with frozen affine at init ≡ standardize,
-    `teacher_norm` a LayerNorm with `elementwise_affine=False`,
-    `backbone.py:1290-1296,1370-1373`)."""
+    """Non-affine LayerNorm over the feature axis: the reference's
+    `teacher_norm` (LayerNorm with `elementwise_affine=False`,
+    `backbone.py:1367`), and its optional `student_norm` (LayerNorm with
+    frozen affine at init ≡ standardize, `backbone.py:1290-1293`)."""
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps)
 
 
 def unigrad_loss(pred: jnp.ndarray, target: jnp.ndarray,
-                 neg_weight: float = 0.02) -> jnp.ndarray:
+                 neg_weight: float = 0.02,
+                 online_ln: bool = False) -> jnp.ndarray:
     """UniGrad in the reference form (SiameseIM `compute_unigrad_loss`,
     `backbone.py:1642-1660`):
 
-      pred   = student_norm(pred)           (gradient flows through)
-      target = teacher_norm(target)         (no grad)
+      pred   = student_norm(pred)           (gradient flows through;
+               Identity by DEFAULT — `args.online_ln` is a store_true flag,
+               `backbone.py:1289-1295` — pass ``online_ln=True`` for the
+               frozen-LayerNorm variant)
+      target = teacher_norm(target)         (no grad; always the affine-free
+               LayerNorm, `backbone.py:1367`)
       pos    = E[ ||pred - target||² ]
       corr   = E_global[ target targetᵀ ]   (all-reduced mean over replicas —
                computing it from the GLOBAL batch under jit reproduces
@@ -88,7 +93,8 @@ def unigrad_loss(pred: jnp.ndarray, target: jnp.ndarray,
       neg    = E[ pred corr predᵀ ]
       L      = (pos + neg_weight·neg) / dim
     """
-    pred = _standardize(pred)
+    if online_ln:
+        pred = _standardize(pred)
     target = jax.lax.stop_gradient(_standardize(target))
     pos = jnp.mean(jnp.sum(jnp.square(pred - target), axis=-1))
     corr = jnp.einsum("bi,bj->ij", target, target,

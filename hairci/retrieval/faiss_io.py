@@ -93,6 +93,20 @@ def load_faiss_flat(index_path: str, paths_path: str | None = None):
     from hairci.retrieval.index import GalleryIndex
 
     vectors, _ = read_flat_index(index_path)
+    # GalleryIndex ranks by cosine. For UNIT-NORM rows that equals both
+    # IndexFlatL2's ascending-distance and IndexFlatIP's descending-score
+    # order (the reference always normalizes before add, inference.py:90);
+    # for unnormalized rows neither metric agrees with cosine, so importing
+    # would silently change the ranking faiss produced — refuse instead.
+    norms = np.linalg.norm(vectors, axis=1)
+    if len(norms) and abs(float(norms.max()) - 1.0) + \
+            abs(float(norms.min()) - 1.0) > 2e-3:
+        raise ValueError(
+            f"{index_path}: rows are not L2-normalized (|v| in "
+            f"[{norms.min():.4f}, {norms.max():.4f}]); cosine ranking would "
+            "differ from what faiss returned for this index. Normalize the "
+            "gallery before export, or build a GalleryIndex from the raw "
+            "vectors via read_flat_index() if cosine semantics are intended.")
     if paths_path is None:
         base = os.path.basename(index_path)
         cand = os.path.join(

@@ -508,6 +508,26 @@ def _siam_decoder_block(sd: StateDict, t: str) -> Tuple[dict, dict]:
     return params, stats
 
 
+def siameseim_block_norm(sd: StateDict) -> str:
+    """Detect the decoder-block norm layout of a SiameseIM checkpoint —
+    "ln" for the `use_proj_ln`/`use_pred_ln` variant, "permute_bn" for the
+    store_true default (`backbone.py:1280-1292`). The evaluating module
+    must be built with the matching `block_norm` or the converted params
+    merge into a corrupt tree. Raises on mixed layouts (hairci uses one
+    norm for projector and predictor blocks)."""
+    kinds = set()
+    for k in sd:
+        if "decoder_blocks." in k and ".norm1." in k:
+            kinds.add("permute_bn" if ".norm1.bn." in k else "ln")
+    if len(kinds) > 1:
+        raise ValueError(
+            "checkpoint mixes LayerNorm and PermuteBN decoder blocks "
+            "(use_proj_ln != use_pred_ln); hairci's SiameseIM uses one "
+            "block_norm for both — convert manually via "
+            "hairci.retrieval.torch_import")
+    return kinds.pop() if kinds else "permute_bn"
+
+
 def convert_siameseim(sd: StateDict, depth: int = 12
                       ) -> Tuple[dict, dict, dict, dict]:
     """Reference `SiameseIMViT` (`backbone.py:1217-1719`) → hairci

@@ -200,6 +200,8 @@ class SiameseIMRecipe:
         projector_depth: int = 2,
         predictor_depth: int = 4,
         block_norm: str = "permute_bn",
+        online_ln: bool = False,  # `args.online_ln` store_true default:
+        # student_norm = Identity (`backbone.py:1289-1295`)
         dtype: Any = jnp.bfloat16,
         epochs: int = 100,
         **_unused,
@@ -215,6 +217,8 @@ class SiameseIMRecipe:
         self.mask_ratio = mask_ratio
         self.with_blockwise_mask = with_blockwise_mask
         self.neg_weight = neg_weight if lamb is None else lamb
+        self.online_ln = online_ln
+        self.block_norm = block_norm
         self.decoder_dim = decoder_dim
         self.epochs = epochs
         from hairci.models.vit import VIT_CONFIGS
@@ -281,9 +285,15 @@ class SiameseIMRecipe:
                             momentum)
         state = state.replace(ema_params=ema_params, ema_batch_stats=ema_bs)
 
-        target = self.module.apply(
+        # train=True so the mm projector's PermuteBN normalizes the target
+        # with the CURRENT batch's statistics, like the reference's mm
+        # blocks running in module-train mode under torch.no_grad
+        # (`backbone.py:1611-1630`); the running-stat updates are discarded
+        # (ema_batch_stats tracks the online stats for eval instead)
+        target, _ = self.module.apply(
             {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
-            v2, train=False, method=self.module.target_forward)
+            v2, train=True, mutable=["batch_stats"],
+            method=self.module.target_forward)
         target = jax.lax.stop_gradient(target)
 
         def loss_fn(params):
@@ -293,7 +303,8 @@ class SiameseIMRecipe:
                 method=self.module.online_forward)
             B, N, D = pred.shape
             loss = unigrad_loss(pred.reshape(B * N, D),
-                                target.reshape(B * N, D), self.neg_weight)
+                                target.reshape(B * N, D), self.neg_weight,
+                                online_ln=self.online_ln)
             return loss, updates.get("batch_stats", state.batch_stats)
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

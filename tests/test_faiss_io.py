@@ -115,8 +115,18 @@ def test_gallery_export_reimport(tmp_path):
         np.asarray(index.embeddings[:len(index)]), atol=1e-6)
 
 
+def test_unnormalized_rows_refused(tmp_path):
+    """GalleryIndex is cosine-ranked; an unnormalized faiss gallery would
+    silently rank differently than faiss did, so the import refuses."""
+    vecs = np.random.default_rng(5).normal(size=(6, 4)).astype(np.float32) * 3
+    ip = str(tmp_path / "raw.index")
+    write_flat_index(vecs, ip, METRIC_INNER_PRODUCT)
+    with pytest.raises(ValueError, match="not L2-normalized"):
+        load_faiss_flat(ip)
+
+
 def test_path_count_mismatch_raises(tmp_path):
-    vecs = np.ones((4, 4), dtype=np.float32)
+    vecs = np.ones((4, 4), dtype=np.float32) / 2.0  # unit rows
     ip = str(tmp_path / "y.index")
     write_flat_index(vecs, ip)
     pp = str(tmp_path / "y.pkl")

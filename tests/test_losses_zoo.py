@@ -187,8 +187,9 @@ def test_s2r2_perfect_ranking_low_loss():
 
 def test_unigrad_reference_form():
     """Exact recomputation of `compute_unigrad_loss` (backbone.py:1642-1660):
-    student/teacher standardization, squared-error pos, target-correlation
-    neg, (pos + w*neg)/dim."""
+    teacher standardization (student_norm = Identity at the reference's
+    default `online_ln=False`, backbone.py:1289-1295), squared-error pos,
+    target-correlation neg, (pos + w*neg)/dim."""
     rng = np.random.default_rng(9)
     p = rng.normal(size=(6, 8)).astype(np.float32)
     t = rng.normal(size=(6, 8)).astype(np.float32)
@@ -197,13 +198,19 @@ def test_unigrad_reference_form():
         return ((x - x.mean(-1, keepdims=True))
                 / np.sqrt(x.var(-1, keepdims=True) + 1e-5))
 
-    ps, ts = std(p), std(t)
-    pos = ((ps - ts) ** 2).sum(-1).mean()
-    corr = ts.T @ ts / ts.shape[0]
-    neg = np.einsum("bi,ij,bj->b", ps, corr, ps).mean()
-    want = (pos + 0.02 * neg) / p.shape[-1]
+    ts = std(t)
+
+    def want(ps):
+        pos = ((ps - ts) ** 2).sum(-1).mean()
+        corr = ts.T @ ts / ts.shape[0]
+        neg = np.einsum("bi,ij,bj->b", ps, corr, ps).mean()
+        return (pos + 0.02 * neg) / p.shape[-1]
+
     got = float(unigrad_loss(jnp.asarray(p), jnp.asarray(t), 0.02))
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got, want(p), rtol=1e-5)
+    got_ln = float(unigrad_loss(jnp.asarray(p), jnp.asarray(t), 0.02,
+                                online_ln=True))
+    np.testing.assert_allclose(got_ln, want(std(p)), rtol=1e-5)
 
 
 def test_unigrad_gradient_flows():

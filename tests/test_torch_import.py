@@ -21,53 +21,12 @@ from hairci.retrieval.torch_import import (  # noqa: E402
 )
 
 
-# ---------------------------------------------------------------------------
-# torchvision-exact ResNet-18 (hand-built: torchvision isn't installed)
-# ---------------------------------------------------------------------------
+# -----------------------------------------------------------------------------
+# torchvision-exact ResNet-18 mirror: shared with
+# tools/accuracy_parity.py via tests/torch_fixtures.py
+# -----------------------------------------------------------------------------
 
-class TorchBasicBlock(tnn.Module):
-    def __init__(self, cin, cout, stride=1):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(cout)
-        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(cout)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = tnn.Sequential(
-                tnn.Conv2d(cin, cout, 1, stride, bias=False),
-                tnn.BatchNorm2d(cout))
-
-    def forward(self, x):
-        idt = x if self.downsample is None else self.downsample(x)
-        out = torch.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        return torch.relu(out + idt)
-
-
-class TorchResNet18(tnn.Module):
-    def __init__(self):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
-        self.bn1 = tnn.BatchNorm2d(64)
-        self.maxpool = tnn.MaxPool2d(3, 2, 1)
-        layers = []
-        cin = 64
-        for stage, cout in enumerate([64, 128, 256, 512]):
-            blocks = []
-            for b in range(2):
-                stride = 2 if stage > 0 and b == 0 else 1
-                blocks.append(TorchBasicBlock(cin, cout, stride))
-                cin = cout
-            layers.append(tnn.Sequential(*blocks))
-        self.layer1, self.layer2, self.layer3, self.layer4 = layers
-
-    def forward(self, x):
-        x = torch.relu(self.bn1(self.conv1(x)))
-        x = self.maxpool(x)
-        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
-            x = layer(x)
-        return x.mean(dim=(2, 3))
+from torch_fixtures import TorchBasicBlock, TorchResNet18  # noqa: E402,F401
 
 
 def _randomize_bn_stats(model):
@@ -1035,3 +994,85 @@ def test_convert_siameseim_permutebn_decoder_structure():
     assert "projector_blocks_0" in emap and "projector_blocks_0" in emastats
     # mm branch: exactly encoder + projector, no predictor (backbone.py:1345-1367)
     assert "predictor_blocks_0" not in emap
+
+
+def test_siameseim_block_norm_detection():
+    """`siameseim_block_norm` picks the module layout the checkpoint needs
+    (the eval CLI rebuilds its recipe from this — an LN-variant checkpoint
+    merged into a PermuteBN-initialized tree is corrupt)."""
+    from hairci.retrieval.torch_import import siameseim_block_norm
+
+    bn = {"projector_decoder_blocks.0.norm1.bn.weight": 0,
+          "predictor_decoder_blocks.0.norm1.bn.weight": 0}
+    ln = {"projector_decoder_blocks.0.norm1.weight": 0,
+          "predictor_decoder_blocks.0.norm1.weight": 0}
+    assert siameseim_block_norm(bn) == "permute_bn"
+    assert siameseim_block_norm(ln) == "ln"
+    assert siameseim_block_norm({"blocks.0.norm1.weight": 0}) == "permute_bn"
+    with pytest.raises(ValueError, match="mixes"):
+        siameseim_block_norm({**bn, **ln})
+
+
+def test_convert_siameseim_ln_decoder_matches_ln_module():
+    """LN-variant decoder conversion merges cleanly into a module built
+    with block_norm='ln' (use_proj_ln/use_pred_ln, backbone.py:1280-1292)."""
+    from hairci.retrieval.torch_import import (
+        convert_siameseim, merge_params, siameseim_block_norm)
+    from hairci.ssl import build_recipe
+
+    d_enc, dec = 192, 64
+    rng = np.random.default_rng(44)
+
+    def rnd(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    enc = TorchSiamEncoder(d=d_enc, h=3, depth=12)
+
+    def fix(k):
+        return "patch_embed." + k if k.startswith("proj.") else k
+
+    sd = {fix(k): v.detach().numpy() for k, v in enc.state_dict().items()}
+    for k, v in enc.state_dict().items():
+        if k != "pos_embed":
+            sd["mm_" + fix(k)] = v.detach().numpy()
+
+    def dec_block(prefix):
+        sd[f"{prefix}.attn.qkv.weight"] = rnd(3 * dec, dec)
+        sd[f"{prefix}.attn.qkv.bias"] = rnd(3 * dec)
+        sd[f"{prefix}.attn.proj.weight"] = rnd(dec, dec)
+        sd[f"{prefix}.attn.proj.bias"] = rnd(dec)
+        sd[f"{prefix}.mlp.fc1.weight"] = rnd(4 * dec, dec)
+        sd[f"{prefix}.mlp.fc1.bias"] = rnd(4 * dec)
+        sd[f"{prefix}.mlp.fc2.weight"] = rnd(dec, 4 * dec)
+        sd[f"{prefix}.mlp.fc2.bias"] = rnd(dec)
+        for n in ("norm1", "norm2"):  # LayerNorm layout
+            sd[f"{prefix}.{n}.weight"] = rnd(dec)
+            sd[f"{prefix}.{n}.bias"] = rnd(dec)
+
+    for side in ("", "mm_"):
+        sd[f"{side}decoder_embed.weight"] = rnd(dec, d_enc)
+        sd[f"{side}decoder_embed.bias"] = rnd(dec)
+        sd[f"{side}mask_token"] = rnd(1, 1, dec)
+        dec_block(f"{side}projector_decoder_blocks.0")
+    dec_block("predictor_decoder_blocks.0")
+    dec_block("predictor_decoder_blocks.1")
+    sd["decoder_pred.weight"] = rnd(dec, dec)
+    sd["decoder_pred.bias"] = rnd(dec)
+    sd["decoder_pos_mlp.weight"] = rnd(dec, 2 * dec)
+    sd["decoder_pos_mlp.bias"] = rnd(dec)
+
+    assert siameseim_block_norm(sd) == "ln"
+    params, stats, emap, emastats = convert_siameseim(sd, depth=12)
+    r = build_recipe("siameseim", backbone="vit_tiny_patch16", img_size=32,
+                     dtype=jnp.float32, decoder_dim=dec, decoder_num_heads=4,
+                     projector_depth=1, predictor_depth=2, block_norm="ln")
+    imgs = jnp.asarray(np.zeros((2, 48, 48, 3), np.uint8))
+    state = r.create_state(jax.random.key(0), imgs)
+
+    def shapes(t):
+        return jax.tree_util.tree_map(lambda a: jnp.shape(a), t)
+
+    merged = merge_params(state.params, params)
+    assert shapes(merged) == shapes(state.params)
+    assert "projector_blocks_0" in params
+    assert not stats.get("projector_blocks_0")  # LN carries no running stats

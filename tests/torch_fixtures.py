@@ -1,0 +1,66 @@
+"""Bare-torch reference model mirrors shared by the converter tests
+(tests/test_torch_import.py) and the trained accuracy-parity harness
+(tools/accuracy_parity.py). Plain imports only — this module is loaded
+outside pytest too."""
+
+import torch
+import torch.nn as tnn
+
+
+class TorchBasicBlock(tnn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + idt)
+
+
+class TorchResNet18(tnn.Module):
+    """torchvision-layout ResNet-18 trunk (pooled features, no fc) —
+    mirrors `hairci/models/resnet.py` stem="imagenet"."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        layers = []
+        cin = 64
+        for stage, cout in enumerate([64, 128, 256, 512]):
+            blocks = []
+            for b in range(2):
+                stride = 2 if stage > 0 and b == 0 else 1
+                blocks.append(TorchBasicBlock(cin, cout, stride))
+                cin = cout
+            layers.append(tnn.Sequential(*blocks))
+        self.layer1, self.layer2, self.layer3, self.layer4 = layers
+        # torchvision's init (resnet.py _resnet): kaiming_normal fan_out on
+        # convs, BN gamma=1/beta=0 (zero_init_residual defaults to False) —
+        # torch's module default (kaiming_uniform a=sqrt(5)) trains visibly
+        # worse and is NOT what the reference runs
+        for m in self.modules():
+            if isinstance(m, tnn.Conv2d):
+                tnn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                         nonlinearity="relu")
+            elif isinstance(m, tnn.BatchNorm2d):
+                tnn.init.constant_(m.weight, 1.0)
+                tnn.init.constant_(m.bias, 0.0)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+        return x.mean(dim=(2, 3))

@@ -45,6 +45,7 @@ N_TRAIN, N_TEST = 512, 512
 TEMP, TRIPLET_W, MSE_W = 0.5, 0.5, 0.2
 MARGIN1, MARGIN2 = 0.7, 0.5
 EMA_M, LR = 0.99, 1e-3
+VIEW_BLUR_K = None  # None → lightly 0.1*size rule on both sides
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
@@ -54,10 +55,13 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 # ---------------------------------------------------------------------------
 
 def _torch_modules():
+    """The torchvision-layout ResNet-18 mirror shared with the converter
+    tests (tests/torch_fixtures.py — a plain module, importable outside
+    pytest)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
-        "torch_fixtures", os.path.join(ROOT, "tests", "test_torch_import.py"))
+        "torch_fixtures", os.path.join(ROOT, "tests", "torch_fixtures.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod.TorchResNet18
@@ -68,9 +72,11 @@ class TorchAug:
     positive_transform, matching the sampling distributions of
     `hairci/aug/ops.py` (torchvision semantics on both sides)."""
 
-    def __init__(self, rng: np.random.Generator, size: int):
+    def __init__(self, rng: np.random.Generator, size: int,
+                 view_blur_k: int | None = None):
         self.rng = rng
         self.size = size
+        self.view_blur_k = view_blur_k
 
     # --- torchvision RandomResizedCrop.get_params ---
     def _crop_params(self, H, W, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
@@ -179,8 +185,11 @@ class TorchAug:
         y = self.hflip(y)
         y = self.color_jitter(y)
         y = self.grayscale(y)
-        k = int(0.1 * self.size)  # lightly kernel ≈ 0.1*size, odd (mirrors
-        k = k + 1 if k % 2 == 0 else max(k, 3)  # hairci _blur_kernel_size)
+        if self.view_blur_k:
+            k = self.view_blur_k
+        else:
+            k = int(0.1 * self.size)  # lightly kernel ≈ 0.1*size, odd
+            k = k + 1 if k % 2 == 0 else max(k, 3)  # = _blur_kernel_size
         y = self.blur(y, ksize=max(k, 3))
         return self.normalize(y)
 
@@ -267,7 +276,8 @@ def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
     for p in ema.parameters():
         p.requires_grad_(False)
     opt = torch.optim.Adam(model.parameters(), lr=LR, betas=(0.9, 0.999))
-    aug = TorchAug(np.random.default_rng(seed + 1), SIZE)
+    aug = TorchAug(np.random.default_rng(seed + 1), SIZE,
+                   view_blur_k=VIEW_BLUR_K)
 
     nb = len(xs_train) // B
     xf = xs_train.astype(np.float32) / 255.0
@@ -431,7 +441,7 @@ def train_hairci(xs_train, epochs, warmup, seed=0):
     from hairci.ssl import build_recipe
 
     nb = len(xs_train) // B
-    v = ViewConfig(size=SIZE, cj_hue=0.0)
+    v = ViewConfig(size=SIZE, cj_hue=0.0, blur_kernel=VIEW_BLUR_K)
     recipe = build_recipe(
         "SHAM", backbone="resnet18", img_size=SIZE, dtype=jnp.float32,
         warm_up_epochs=warmup, num_batches=nb,
@@ -490,8 +500,13 @@ def main(argv=None):
     p.add_argument("--diag_every", type=int, default=0,
                    help="torch side: every N epochs print kNN top-1 under "
                         "running-BN vs batch-BN plus feature spread")
+    p.add_argument("--view_blur_k", type=int, default=0,
+                   help="pin the SimCLR-view blur kernel on BOTH sides "
+                        "(0 = lightly 0.1*size rule)")
     args = p.parse_args(argv)
+    global VIEW_BLUR_K
     SIZE, N_TRAIN = args.size, args.n_train
+    VIEW_BLUR_K = args.view_blur_k or None
 
     xs, ys = make_dataset(N_TRAIN + N_TEST, C, SIZE, seed=17)
     xs_tr, ys_tr = xs[:N_TRAIN], ys[:N_TRAIN]
@@ -499,7 +514,8 @@ def main(argv=None):
 
     results = {"config": {"epochs": args.epochs, "warmup": args.warmup,
                           "n_train": N_TRAIN, "n_test": N_TEST,
-                          "size": SIZE, "batch": B, "seed": args.seed}}
+                          "size": SIZE, "batch": B, "seed": args.seed,
+                          "view_blur_k": VIEW_BLUR_K}}
     if args.side in ("both", "torch"):
         f = train_torch(xs_tr, args.epochs, args.warmup, args.seed,
                         diag_data=(xs_tr, ys_tr, xs_te, ys_te),

@@ -114,3 +114,11 @@ def test_label_indices_contiguous():
         assert m.num_classes == 2
         np.testing.assert_array_equal(m.label_indices, [0, 1, 0])
         assert m.class_names == [10, 500]
+
+
+def test_docs_paths_resolve():
+    """PARITY.md / MIGRATION.md / README.md claims can't rot: every file,
+    symbol, and line citation they make must resolve (tools/check_parity_paths)."""
+    from tools.check_parity_paths import main
+
+    assert main() == 0

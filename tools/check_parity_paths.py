@@ -1,4 +1,4 @@
-"""Sanity-check PARITY.md: every `hairci/...`, `tools/...`, `scripts/...`
+"""Sanity-check PARITY.md / docs/MIGRATION.md / README.md: every `hairci/...`, `tools/...`, `scripts/...`
 path or dotted `hairci.x.y` module it names must exist, and every
 `module.py:symbol` style mention must resolve. Guards the inventory
 against rot as the tree evolves. Run: `python -m tools.check_parity_paths`.
@@ -12,8 +12,18 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+DOCS = ("PARITY.md", "docs/MIGRATION.md", "README.md")
+
+
 def main() -> int:
-    text = open(os.path.join(ROOT, "PARITY.md")).read()
+    rc = 0
+    for doc in DOCS:
+        rc |= check_doc(doc)
+    return rc
+
+
+def check_doc(doc: str) -> int:
+    text = open(os.path.join(ROOT, doc)).read()
     missing = []
 
     # path-like mentions: hairci/foo/bar.py, tools/x.py, scripts/y.sh ...
@@ -65,11 +75,11 @@ def main() -> int:
                 missing.append(mod)
 
     if missing:
-        print("PARITY.md references missing targets:")
+        print(f"{doc} references missing targets:")
         for m in sorted(missing):
             print(f"  {m}")
         return 1
-    print("PARITY.md: all referenced paths/symbols resolve.")
+    print(f"{doc}: all referenced paths/symbols resolve.")
     return 0
 
 

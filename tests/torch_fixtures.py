@@ -29,9 +29,14 @@ class TorchBasicBlock(tnn.Module):
 
 class TorchResNet18(tnn.Module):
     """torchvision-layout ResNet-18 trunk (pooled features, no fc) —
-    mirrors `hairci/models/resnet.py` stem="imagenet"."""
+    mirrors `hairci/models/resnet.py` stem="imagenet".
 
-    def __init__(self):
+    ``zero_init_residual=True`` zero-inits each block's LAST BN gamma like
+    hairci's ``scale_init=zeros`` (torchvision exposes the same flag but
+    the reference leaves it at its False default).
+    """
+
+    def __init__(self, zero_init_residual: bool = False):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
@@ -57,6 +62,10 @@ class TorchResNet18(tnn.Module):
             elif isinstance(m, tnn.BatchNorm2d):
                 tnn.init.constant_(m.weight, 1.0)
                 tnn.init.constant_(m.bias, 0.0)
+        if zero_init_residual:
+            for m in self.modules():
+                if isinstance(m, TorchBasicBlock):
+                    tnn.init.constant_(m.bn2.weight, 0.0)
 
     def forward(self, x):
         x = torch.relu(self.bn1(self.conv1(x)))

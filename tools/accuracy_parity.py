@@ -46,6 +46,9 @@ TEMP, TRIPLET_W, MSE_W = 0.5, 0.5, 0.2
 MARGIN1, MARGIN2 = 0.7, 0.5
 EMA_M, LR = 0.99, 1e-3
 VIEW_BLUR_K = None  # None → lightly 0.1*size rule on both sides
+CROSS_AUG = False   # torch side consumes hairci's augmented views
+ZERO_INIT_RES = False  # torch backbone zero-inits residual BN gammas
+# (hairci's init; the reference keeps torchvision's False default)
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
@@ -249,7 +252,8 @@ def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
     class SHAMTorch(nn.Module):
         def __init__(self):
             super().__init__()
-            self.backbone = TorchResNet18()
+            self.backbone = TorchResNet18(
+                zero_init_residual=ZERO_INIT_RES)
             # MLPHead [(512, bn, relu), (128, bn, -)] = lightly
             # SimCLRProjectionHead dims for resnet18 (main_backbone.py:571-586)
             self.head = nn.Sequential(
@@ -279,6 +283,31 @@ def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
     aug = TorchAug(np.random.default_rng(seed + 1), SIZE,
                    view_blur_k=VIEW_BLUR_K)
 
+    hairci_views = None
+    if CROSS_AUG:
+        # diagnostic: feed the torch model hairci's actual augmented views
+        # — isolates "torch aug mirror differs" from "torch training
+        # numerics differ"
+        from hairci.utils import apply_platform_env
+
+        apply_platform_env()
+        import jax
+
+        from hairci.aug.pipelines import MultiViewTransform, ViewConfig
+        from hairci.aug.pipelines import positive_transform as hc_pt
+
+        v = ViewConfig(size=SIZE, cj_hue=0.0, blur_kernel=VIEW_BLUR_K)
+        tf = MultiViewTransform((v, v))
+
+        def hairci_views(images_uint8, e, bi):  # noqa: F811
+            import jax.numpy as jnp
+
+            key = jax.random.fold_in(jax.random.key(seed + 31), e * 1000 + bi)
+            ka, kp = jax.random.split(key)
+            anchor, pos1 = tf(ka, jnp.asarray(images_uint8))
+            pos = hc_pt(kp, pos1)
+            return (np.asarray(anchor), np.asarray(pos1), np.asarray(pos))
+
     nb = len(xs_train) // B
     xf = xs_train.astype(np.float32) / 255.0
     neg_cache = np.zeros((nb, B), np.int64)
@@ -304,9 +333,13 @@ def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
         margin = MARGIN1 if stage == "warmup" else MARGIN2
         viol_total = 0.0
         for bi in range(nb):
-            imgs = xf[bi * B:(bi + 1) * B]
-            x_anchor = aug.view(imgs)
-            x_pos1 = aug.view(imgs)
+            if hairci_views is not None:
+                x_anchor, x_pos1, pos_ca = hairci_views(
+                    xs_train[bi * B:(bi + 1) * B], e, bi)
+            else:
+                imgs = xf[bi * B:(bi + 1) * B]
+                x_anchor = aug.view(imgs)
+                x_pos1 = aug.view(imgs)
 
             ema_update()  # per-batch, BEFORE forward (pretrain_engine:621)
 
@@ -328,7 +361,8 @@ def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
                 neg_idx = neg_cache[bi]
 
             neg = x_pos1[neg_idx]
-            pos = aug.positive_transform(x_pos1)
+            pos = pos_ca if hairci_views is not None \
+                else aug.positive_transform(x_pos1)
             # at 32px patch_size==img -> floor(ratio*1)=0, a no-op on both
             # sides; at >=64px this mirrors mask_hair_patches
             masked_pos = aug.positive_masking(pos)
@@ -445,6 +479,7 @@ def train_hairci(xs_train, epochs, warmup, seed=0):
     recipe = build_recipe(
         "SHAM", backbone="resnet18", img_size=SIZE, dtype=jnp.float32,
         warm_up_epochs=warmup, num_batches=nb,
+        triplet_w=TRIPLET_W, mse_w=MSE_W,
         transform=MultiViewTransform((v, v)))
     x = jnp.asarray(xs_train)
     state = recipe.create_state(jax.random.key(seed), x[:B])
@@ -503,10 +538,27 @@ def main(argv=None):
     p.add_argument("--view_blur_k", type=int, default=0,
                    help="pin the SimCLR-view blur kernel on BOTH sides "
                         "(0 = lightly 0.1*size rule)")
+    p.add_argument("--simclr_only", action="store_true",
+                   help="diagnostic: NT-Xent only (triplet/MSE weights 0, "
+                        "mining off) on BOTH sides — isolates the base "
+                        "contrastive path from the SHAM extras")
+    p.add_argument("--cross_aug", action="store_true",
+                   help="diagnostic: torch side trains on hairci's "
+                        "augmented views — isolates aug-mirror differences "
+                        "from training numerics")
+    p.add_argument("--torch_zero_init_residual", action="store_true",
+                   help="torch backbone uses hairci's zero-init residual "
+                        "BN gammas (matched-init comparison; the reference "
+                        "default is gamma=1)")
     args = p.parse_args(argv)
-    global VIEW_BLUR_K
+    global VIEW_BLUR_K, TRIPLET_W, MSE_W, CROSS_AUG, ZERO_INIT_RES
+    ZERO_INIT_RES = args.torch_zero_init_residual
     SIZE, N_TRAIN = args.size, args.n_train
     VIEW_BLUR_K = args.view_blur_k or None
+    CROSS_AUG = args.cross_aug
+    if args.simclr_only:
+        TRIPLET_W = MSE_W = 0.0
+        args.warmup = args.epochs + 2  # stage stays "warmup": no mining
 
     xs, ys = make_dataset(N_TRAIN + N_TEST, C, SIZE, seed=17)
     xs_tr, ys_tr = xs[:N_TRAIN], ys[:N_TRAIN]

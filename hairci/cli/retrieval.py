@@ -41,6 +41,10 @@ def build_retrieval_parser(kind: str) -> argparse.ArgumentParser:
     p.add_argument("--extract_only", action="store_true")
     p.add_argument("--retrieve_only", action="store_true")
     p.add_argument("--force_extract", action="store_true")
+    p.add_argument("--faiss_index", type=str, default=None,
+                   help="import a reference-built FAISS flat index "
+                        "(+ its paths .pkl, discovered by the reference's "
+                        "naming) as the gallery instead of extracting")
     return p
 
 
@@ -93,7 +97,13 @@ def run(kind: str, argv=None) -> None:
 
     should_extract = not args.retrieve_only and (
         args.force_extract or not encoder.embeddings_exist(args.embed_save_dir))
-    if should_extract:
+    if args.faiss_index:
+        # migration path: reference demo artifacts load directly
+        # (app/inference.py:96-98 persistence; see retrieval/faiss_io.py)
+        from hairci.retrieval.faiss_io import load_faiss_flat
+
+        index = load_faiss_flat(args.faiss_index)
+    elif should_extract:
         index = encoder.extract_dataset_features(args.data_path,
                                                  args.embed_save_dir)
     elif not args.extract_only:

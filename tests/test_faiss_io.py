@@ -134,3 +134,34 @@ def test_path_count_mismatch_raises(tmp_path):
         pickle.dump(["only", "two"], f)
     with pytest.raises(ValueError, match="2 paths for 4 vectors"):
         load_faiss_flat(ip, pp)
+
+
+def test_retrieval_cli_imports_faiss_index(tmp_path, capsys):
+    """`hair_retrieval.py --faiss_index` serves straight from a
+    reference-built index file (migration path, no re-extraction)."""
+    from PIL import Image
+
+    from hairci.cli.retrieval import run
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(6)
+    paths = []
+    for i in range(6):
+        p = str(img_dir / f"{i:03d}_hair.png")
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3),
+                                     dtype=np.uint8)).save(p)
+        paths.append(p)
+    feats = rng.normal(size=(6, 768)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    idx_path = str(tmp_path / "index_hair_region.index")
+    write_flat_index(feats, idx_path)
+    with open(tmp_path / "paths_hair_region.pkl", "wb") as f:
+        pickle.dump(paths, f)
+
+    run("hair",
+        ["--data_path", str(img_dir), "--faiss_index", idx_path,
+         "--query_image", paths[1], "--top_k", "3", "--batch_size", "2"])
+    out = capsys.readouterr().out
+    assert "Query: " in out and "similarity" in out
+    assert out.count(". /") == 3 or out.count("1. ") >= 1

@@ -72,3 +72,18 @@ def test_vit_global_pool_variant():
     feats = model.apply(variables, x, train=False, pool=True)
     assert feats.shape == (2, 192)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_resnet_zero_init_residual_gamma():
+    """Documented deviation (PARITY.md): each residual block's LAST BN
+    scale starts at zero (models/resnet.py scale_init=zeros) — the init
+    that BENCH_RESULTS' trained-parity factorial shows dominates
+    small-scale trainability. Guard it against silent regression."""
+    from hairci.models.resnet import build_resnet
+
+    model = build_resnet("resnet18", dtype=jnp.float32)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    block = v["params"]["BasicBlock_0"]
+    last_bn = block["BatchNorm_1"]
+    assert np.all(np.asarray(last_bn["scale"]) == 0.0)
+    assert np.all(np.asarray(block["BatchNorm_0"]["scale"]) == 1.0)

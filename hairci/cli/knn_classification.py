@@ -59,11 +59,14 @@ def build_eval_parser() -> argparse.ArgumentParser:
     return p
 
 
-def recipe_for_eval(args):
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+def _eval_dtype(args):
+    return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+
+def recipe_for_eval(args, **recipe_kw):
     mode = "siameseim" if args.mode == "siaMIM" else args.mode
     return build_recipe(mode, backbone=args.model, img_size=args.size,
-                        dtype=dtype)
+                        dtype=_eval_dtype(args), **recipe_kw)
 
 
 def load_state(recipe, args, sample):
@@ -110,13 +113,8 @@ def load_state(recipe, args, sample):
             # the converted params merge into a corrupt tree. Detect from
             # the torch keys and rebuild the recipe when they disagree.
             want = ti.siameseim_block_norm(sd)
-            if want != getattr(recipe, "block_norm", "permute_bn"):
-                from hairci.ssl import build_recipe
-
-                recipe = build_recipe(
-                    "siameseim", backbone=args.model, img_size=args.size,
-                    dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-                    else jnp.float32, block_norm=want)
+            if want != recipe.block_norm:
+                recipe = recipe_for_eval(args, block_norm=want)
                 state = recipe.create_state(jax.random.key(args.seed),
                                             sample)
             # encoders + decoder stack when the ckpt has one (merge over

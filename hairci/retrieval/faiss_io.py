@@ -99,8 +99,7 @@ def load_faiss_flat(index_path: str, paths_path: str | None = None):
     # for unnormalized rows neither metric agrees with cosine, so importing
     # would silently change the ranking faiss produced — refuse instead.
     norms = np.linalg.norm(vectors, axis=1)
-    if len(norms) and abs(float(norms.max()) - 1.0) + \
-            abs(float(norms.min()) - 1.0) > 2e-3:
+    if len(norms) and float(np.abs(norms - 1.0).max()) > 1e-3:
         raise ValueError(
             f"{index_path}: rows are not L2-normalized (|v| in "
             f"[{norms.min():.4f}, {norms.max():.4f}]); cosine ranking would "

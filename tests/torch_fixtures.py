@@ -73,3 +73,20 @@ class TorchResNet18(tnn.Module):
         for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
             x = layer(x)
         return x.mean(dim=(2, 3))
+
+
+class SHAMTorch(tnn.Module):
+    """SHAM2-equivalent: trunk + lightly SimCLRProjectionHead dims for
+    resnet18 (main_backbone.py:571-586) — shared by the accuracy-parity
+    and step-parity harnesses."""
+
+    def __init__(self, zero_init_residual: bool = False):
+        super().__init__()
+        self.backbone = TorchResNet18(zero_init_residual=zero_init_residual)
+        self.head = tnn.Sequential(
+            tnn.Linear(512, 512, bias=False), tnn.BatchNorm1d(512),
+            tnn.ReLU(), tnn.Linear(512, 128, bias=False),
+            tnn.BatchNorm1d(128))
+
+    def forward(self, x):
+        return self.head(self.backbone(x))

@@ -58,8 +58,8 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 # ---------------------------------------------------------------------------
 
 def _torch_modules():
-    """The torchvision-layout ResNet-18 mirror shared with the converter
-    tests (tests/torch_fixtures.py — a plain module, importable outside
+    """The torch SHAM2-equivalent mirror shared with the converter tests
+    (tests/torch_fixtures.py — a plain module, importable outside
     pytest)."""
     import importlib.util
 
@@ -67,7 +67,7 @@ def _torch_modules():
         "torch_fixtures", os.path.join(ROOT, "tests", "torch_fixtures.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.TorchResNet18
+    return mod.SHAMTorch
 
 
 class TorchAug:
@@ -244,25 +244,12 @@ def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
                 diag_every=0):
     import torch
     import torch.nn.functional as F
-    from torch import nn
 
     torch.manual_seed(seed)
-    TorchResNet18 = _torch_modules()
+    _SHAMTorch = _torch_modules()
 
-    class SHAMTorch(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.backbone = TorchResNet18(
-                zero_init_residual=ZERO_INIT_RES)
-            # MLPHead [(512, bn, relu), (128, bn, -)] = lightly
-            # SimCLRProjectionHead dims for resnet18 (main_backbone.py:571-586)
-            self.head = nn.Sequential(
-                nn.Linear(512, 512, bias=False), nn.BatchNorm1d(512),
-                nn.ReLU(), nn.Linear(512, 128, bias=False),
-                nn.BatchNorm1d(128))
-
-        def forward(self, x):
-            return self.head(self.backbone(x))
+    def SHAMTorch():
+        return _SHAMTorch(zero_init_residual=ZERO_INIT_RES)
 
     def nt_xent(z0, z1, temp):
         z0 = F.normalize(z0, dim=1)

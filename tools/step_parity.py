@@ -57,25 +57,11 @@ def make_views(size: int, n_batches: int, batch: int):
 
 def build_torch_model(seed: int = 0):
     import torch
-    from torch import nn
 
     sys.path.insert(0, os.path.join(ROOT, "tests"))
-    from torch_fixtures import TorchResNet18
+    from torch_fixtures import SHAMTorch
 
     torch.manual_seed(seed)
-
-    class SHAMTorch(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.backbone = TorchResNet18()
-            self.head = nn.Sequential(
-                nn.Linear(512, 512, bias=False), nn.BatchNorm1d(512),
-                nn.ReLU(), nn.Linear(512, 128, bias=False),
-                nn.BatchNorm1d(128))
-
-        def forward(self, x):
-            return self.head(self.backbone(x))
-
     return SHAMTorch()
 
 
@@ -139,45 +125,10 @@ def run_torch(model, views, steps, opt=None):
 
 
 def run_hairci(params, batch_stats, size, views, steps):
-    import jax
-    import jax.numpy as jnp
-
-    from hairci.eval.features import l2_normalize
-    from hairci.losses import nt_xent_loss
-    from hairci.ssl.sham import SHAMModule
-    from hairci.train.optim import make_optimizer
-
-    module = SHAMModule(backbone_name="resnet18", img_size=size,
-                        dtype=jnp.float32)
-    tx = make_optimizer(LR, 0.0, (0.9, 0.999), grad_clip=1.0)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, batch_stats, opt_state, stacked):
-        def loss_fn(p):
-            out, upd = module.apply(
-                {"params": p, "batch_stats": batch_stats}, stacked,
-                train=True, mutable=["batch_stats"])
-            _, pos_b, anchor_b = jnp.split(out, 3, axis=0)
-            loss = nt_xent_loss(l2_normalize(pos_b), l2_normalize(anchor_b),
-                                TEMP)
-            return loss, upd["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        import optax
-
-        return (loss, optax.apply_updates(params, updates), new_bs,
-                opt_state2)
-
-    losses = []
-    for s in range(steps):
-        a, p, neg_idx = views[s % len(views)]
-        stacked = jnp.asarray(np.concatenate([p[neg_idx], p, a]))  # noqa: F841 (3-tuple fixed-views mode)
-        loss, params, batch_stats, opt_state = step(
-            params, batch_stats, opt_state, stacked)
-        losses.append(float(loss))
+    """Fixed-views N-step run — thin wrapper over the stateful trainer
+    (views repeat cyclically like run_torch's)."""
+    cyclic = [views[s % len(views)] for s in range(steps)]
+    _, _, losses = run_hairci_stateful(params, batch_stats, size, cyclic)
     return losses
 
 
@@ -279,11 +230,10 @@ def run_epochs(size: int, epochs: int, n_train: int, batch: int,
               f"hairci loss {np.mean(lh):.4f}", file=sys.stderr)
 
     # identical eval protocol for both: normalize-only features, cosine kNN
-    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
-    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    from tools.accuracy_parity import IMAGENET_MEAN, IMAGENET_STD
 
     def norm(x):
-        return (x.astype(np.float32) / 255.0 - mean) / std
+        return (x.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
     model.eval()
     with torch.no_grad():

@@ -31,9 +31,15 @@ def build_recipe_from_args(args, num_batches: int):
         dtype=dtype,
     )
     mode = args.mode
-    if mode == "simclr":
+    if mode in ("simclr", "S2R2"):
+        # `--mode S2R2` is a dead branch upstream (`mainpretrain.py:61` lists
+        # it in choices but `:147-171` has no model for it → NameError).
+        # hairci realizes the advertised intent: SimCLR + Smooth-AP
+        # regularization (the same s2r2_loss SHAM wires via `--S2R2`).
+        s2r2 = 1.0 if (mode == "S2R2" or getattr(args, "S2R2", False)) else 0.0
         return build_recipe("simclr", backbone=args.model,
-                            temperature=args.temp, **common)
+                            temperature=args.temp, s2r2_weight=s2r2,
+                            **common)
     if mode == "SHAM":
         return build_recipe(
             "SHAM", backbone=args.model, temperature=args.temp,

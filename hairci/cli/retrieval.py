@@ -97,6 +97,10 @@ def run(kind: str, argv=None) -> None:
 
     should_extract = not args.retrieve_only and (
         args.force_extract or not encoder.embeddings_exist(args.embed_save_dir))
+    if args.faiss_index and (args.force_extract or args.extract_only):
+        raise SystemExit(
+            "--faiss_index loads a prebuilt gallery and skips extraction; "
+            "it cannot be combined with --force_extract/--extract_only")
     if args.faiss_index:
         # migration path: reference demo artifacts load directly
         # (app/inference.py:96-98 persistence; see retrieval/faiss_io.py)

@@ -60,6 +60,12 @@ class _EncoderBase:
         self._embed = jax.jit(self._embed_fn)
 
     # -- subclass API ---------------------------------------------------
+    @property
+    def feature_dim(self) -> int:
+        """Output embedding dimension (used to validate imported galleries)."""
+        m = self.model
+        return int(getattr(m, "embed_dim", None) or getattr(m, "dim"))
+
     def _init_params(self):
         raise NotImplementedError
 

@@ -20,9 +20,11 @@ Format (FAISS ``impl/index_write.cpp`` for ``IndexFlat``):
   for metric_type > 1)
 - vectors via ``WRITEXBVECTOR``: uint64 element count (= ntotal * d
   float32 elements) followed by the raw little-endian float32 data.
-  (Newer faiss stores flat codes as a byte vector whose count is
-  ``ntotal * d * 4``; the reader accepts both encodings by checking which
-  interpretation matches the header.)
+  faiss always writes the float count (its writer emits
+  ``codes.size() / 4`` for back-compat even though flat codes are stored
+  as bytes internally); the reader here additionally tolerates a
+  byte-count (``ntotal * d * 4``) header as defensive leniency — no faiss
+  version produces it.
 
 Everything is little-endian, matching FAISS's raw-struct I/O.
 
@@ -108,9 +110,13 @@ def load_faiss_flat(index_path: str, paths_path: str | None = None):
             "vectors via read_flat_index() if cosine semantics are intended.")
     if paths_path is None:
         base = os.path.basename(index_path)
-        cand = os.path.join(
-            os.path.dirname(index_path),
-            base.replace("index_", "paths_").rsplit(".", 1)[0] + ".pkl")
+        # only a LEADING "index_" prefix maps to "paths_" (the reference's
+        # naming, app/inference.py:96-98) — a blanket replace would rewrite
+        # interior occurrences in names like "my_index_region.index"
+        stem = ("paths_" + base[len("index_"):]
+                if base.startswith("index_") else base)
+        cand = os.path.join(os.path.dirname(index_path),
+                            stem.rsplit(".", 1)[0] + ".pkl")
         paths_path = cand if os.path.exists(cand) else None
     if paths_path is not None:
         with open(paths_path, "rb") as f:

@@ -83,10 +83,23 @@ class DemoPipeline:
         if not force and GalleryIndex.exists(self.index_dir):
             self.index = GalleryIndex.load(self.index_dir)
         elif not force and os.path.exists(faiss_file):
-            # artifacts persisted by the reference demo (inference.py:96-98)
+            # artifacts persisted by the reference demo (inference.py:96-98).
+            # The gallery in that file was embedded by the REFERENCE's model;
+            # queries go through self.encoder — so the spaces only match if
+            # the checkpoint was converted (retrieval/torch_import.py).
             from hairci.retrieval.faiss_io import load_faiss_flat
 
             self.index = load_faiss_flat(faiss_file)
+            log.info("imported reference faiss artifact %s (%d vectors, "
+                     "dim %d)", faiss_file, len(self.index), self.index.dim)
+            enc_dim = getattr(self.encoder, "feature_dim", None)
+            if enc_dim is not None and enc_dim != self.index.dim:
+                raise ValueError(
+                    f"{faiss_file}: gallery dim {self.index.dim} != encoder "
+                    f"output dim {enc_dim}. The imported gallery was embedded "
+                    "by a different model — convert the matching torch "
+                    "checkpoint with hairci.retrieval.torch_import or rebuild "
+                    "the index with force=True.")
         else:
             self.index = self.encoder.extract_dataset_features(
                 dataset_path, self.index_dir)

@@ -89,6 +89,7 @@ class DINOv2Recipe:
         transform: Optional[MultiViewTransform] = None,
         epochs: int = 100,
         steps_per_epoch: int = 100,
+        koleo_weight: float = 0.1,
         **_unused,
     ):
         if backbone in ("resnet18", "resnet50", "vit_b_16"):
@@ -100,6 +101,11 @@ class DINOv2Recipe:
         self.mask_ratio = mask_ratio
         self.epochs = epochs
         self.steps_per_epoch = steps_per_epoch
+        # 0.1·KoLeo like the reference DINOv2 head loss; exposed because
+        # KoLeo's nearest-neighbor min is numerically degenerate at init
+        # (LayerScale 1e-5 leaves all cls embeddings almost tied), which
+        # equivalence tests must exclude (tests/test_dp_equivalence.py)
+        self.koleo_weight = koleo_weight
         from hairci.models.vit import VIT_CONFIGS
 
         p, d, _, _ = VIT_CONFIGS[backbone]
@@ -204,8 +210,8 @@ class DINOv2Recipe:
                 params, state.ema_params, t_m, s_m,
                 w_m.astype(jnp.float32), state.extra["ibot_center"],
                 teacher_temp)
-            k_loss = 0.1 * sum(koleo_loss(t) for t in
-                               jnp.split(s_cls_g, 2, axis=0))
+            k_loss = self.koleo_weight * sum(koleo_loss(t) for t in
+                                             jnp.split(s_cls_g, 2, axis=0))
             total = d_loss + i_loss + k_loss
             aux = {
                 "loss": total, "dino_loss": d_loss, "ibot_loss": i_loss,

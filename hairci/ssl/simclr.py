@@ -77,11 +77,18 @@ class SimCLRRecipe:
         dtype: Any = jnp.bfloat16,
         transform: MultiViewTransform | None = None,
         proj_out: int = 0,
+        s2r2_weight: float = 0.0,
     ):
         self.module = SimCLRModule(
             backbone_name=backbone, img_size=img_size, proj_out=proj_out,
             dtype=dtype)
         self.temperature = temperature
+        # `--mode S2R2` / `--S2R2`: Smooth-AP regularizer on the projections.
+        # The reference advertises the mode (`mainpretrain.py:61`) but has no
+        # model branch for it, so it crashes with a NameError; hairci wires it
+        # as SimCLR + s2r2_loss over the two views (the same pairing SHAM uses
+        # for its `--S2R2` flag, `pretrain_engine.py:98-99`).
+        self.s2r2_weight = s2r2_weight
         self.transform = transform or simclr_transform(img_size)
         self.tx = make_optimizer(learning_rate, weight_decay, betas)
         self.img_size = img_size
@@ -114,6 +121,10 @@ class SimCLRRecipe:
             )
             z0, z1 = jnp.split(out, 2, axis=0)
             loss = nt_xent_loss(z0, z1, self.temperature)
+            if self.s2r2_weight > 0:
+                from hairci.losses import s2r2_loss
+
+                loss = loss + self.s2r2_weight * s2r2_loss(out, k_views=2)
             return loss, updates.get("batch_stats", state.batch_stats)
 
         (loss, new_bs), grads = jax.value_and_grad(

@@ -85,3 +85,119 @@ def test_dp_step_matches_single_device(name, kwargs, step_kw):
     # and the trees agree leaf-wise, not just in norm
     diff = _tree_l2(s1.params, s8.params)
     assert diff <= 1e-3 * max(d1, 1e-8), f"param trees diverged: {diff}"
+
+
+def _assert_step_equivalent(recipe, state, images, step_kw,
+                            loss_rtol=3e-4, upd_rtol=2e-3):
+    """Run one step single-device vs sharded and assert loss + parameter
+    update match. The recipe must use SGD (`_use_sgd`) so the update is
+    exactly proportional to the gradient — Adam's first step is
+    ~lr*sign(g), which amplifies f32 reduction-order noise on near-zero
+    gradients into direction flips and would make this a test of the
+    optimizer's noise sensitivity instead of the sharded gradient."""
+    s1, loss1 = _run(recipe, state, images, "single", **step_kw)
+    s8, loss8 = _run(recipe, state, images, "sharded", **step_kw)
+    np.testing.assert_allclose(loss1, loss8, rtol=loss_rtol, atol=1e-5)
+    d1 = _tree_l2(s1.params, state.params)
+    d8 = _tree_l2(s8.params, state.params)
+    np.testing.assert_allclose(d1, d8, rtol=upd_rtol)
+    diff = _tree_l2(s1.params, s8.params)
+    assert diff <= upd_rtol * max(d1, 1e-8), f"param trees diverged: {diff}"
+    return s1, s8
+
+
+def _use_sgd(recipe, lr=0.05):
+    import optax
+
+    recipe.tx = optax.sgd(lr)
+    return recipe
+
+
+def test_dinov2_dp_centering_matches_single_device():
+    """DINOv2 is the recipe whose math DP actually changes: the reference
+    all-reduces the teacher-logit batch mean for DINO/iBOT centering
+    (`/root/reference/HairPretraining/utils/losses.py:397-399`,
+    dist.all_reduce in lightly's center update). hairci computes the center
+    as a plain global-batch mean under jit — this asserts the sharded run
+    produces the same loss, the same parameter update, AND the same updated
+    centers as the single-device run.
+
+    koleo_weight=0: KoLeo's nearest-neighbor min is degenerate at init
+    (LayerScale 1e-5 leaves all cls embeddings nearly tied, so f32
+    reassociation flips the discrete argmin and with it the gradient
+    direction) — a conditioning artifact of the *loss*, not a property of
+    the sharding. The DINO/iBOT centering + CE path, the part whose math
+    DP actually changes, is what's under test."""
+    from hairci.aug.pipelines import dino_transform
+
+    recipe = build_recipe(
+        "dinov2", backbone="vit_tiny_patch16", img_size=32, local_size=16,
+        n_local=2, head_out=64, transform=dino_transform(32, 16, 2),
+        dtype=jnp.float32, koleo_weight=0.0)
+    _use_sgd(recipe)
+    state = recipe.create_state(jax.random.key(0), _images())
+    step_kw = {"teacher_temp": 0.04, "momentum": 0.99}
+    s1, s8 = _assert_step_equivalent(recipe, state, _images(), step_kw)
+    for key in ("dino_center", "ibot_center"):
+        np.testing.assert_allclose(
+            np.asarray(s1.extra[key]), np.asarray(s8.extra[key]),
+            rtol=1e-4, atol=1e-6, err_msg=f"{key} diverged under sharding")
+
+
+def test_siameseim_dp_unigrad_matches_single_device():
+    """SiameseIM's UniGrad term correlates features ACROSS the batch
+    (`/root/reference/HairPretraining/src/backbone.py:1653-1654`: the
+    reference all-gathers target features to build the correlation matrix).
+    hairci writes the plain global-batch einsum and lets XLA insert the
+    collectives — assert sharded == single-device on loss and update."""
+    recipe = build_recipe(
+        "siameseim", backbone="vit_tiny_patch16", img_size=32,
+        dtype=jnp.float32, decoder_dim=64, decoder_num_heads=4)
+    _use_sgd(recipe)
+    state = recipe.create_state(jax.random.key(0), _images())
+    _assert_step_equivalent(recipe, state, _images(), {"momentum": 0.99})
+
+
+def test_tp_margin_head_values_and_grads_match_unsharded():
+    """The reference manually tensor-parallelizes the (num_class, dim) face
+    classifier across a GPU list (`/root/reference/src/models/vit_face.py:
+    97-129`, per-GPU F.linear + concat). hairci shards the SAME layout with
+    one annotation (`model_sharding(mesh, axis=0)`). This is the value
+    check the dryrun doesn't do: logits, loss, and the gradients w.r.t.
+    BOTH the sharded weight and the embeddings must match the unsharded
+    computation."""
+    from hairci.models.face_vit import margin_logits
+    from hairci.parallel import model_sharding
+
+    rng = np.random.default_rng(0)
+    C, D, B = 64, 32, 16
+    w = jnp.asarray(rng.normal(size=(C, D)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, C, B), jnp.int32)
+
+    def loss_fn(w, emb):
+        logits = margin_logits(w, emb, label, "CosFace")
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, label[:, None], 1))
+
+    val_and_grads = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    logits_fn = jax.jit(lambda w, emb: margin_logits(w, emb, label, "CosFace"))
+
+    dev = jax.devices()[0]
+    l1 = logits_fn(jax.device_put(w, dev), jax.device_put(emb, dev))
+    v1, (gw1, ge1) = val_and_grads(jax.device_put(w, dev),
+                                   jax.device_put(emb, dev))
+
+    mesh = create_mesh(n_data=2, n_model=4)
+    w_tp = jax.device_put(w, model_sharding(mesh, axis=0, ndim=2))
+    emb_r = jax.device_put(emb, batch_sharding(mesh, 2))
+    l8 = logits_fn(w_tp, emb_r)
+    v8, (gw8, ge8) = val_and_grads(w_tp, emb_r)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(v1), float(v8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw8),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ge1), np.asarray(ge8),
+                               rtol=1e-4, atol=1e-7)

@@ -58,7 +58,9 @@ def test_roundtrip_both_metrics(tmp_path):
 
 
 def test_reader_accepts_byte_count_encoding(tmp_path):
-    """Newer faiss stores flat codes as a byte vector (count = n*d*4)."""
+    """Defensive leniency: a byte-count (n*d*4) payload header still loads.
+    No faiss version writes this (faiss emits codes.size()/4, the float
+    count, for back-compat) — this guards the reader's tolerance only."""
     vecs = np.random.default_rng(1).normal(size=(3, 4)).astype(np.float32)
     path = str(tmp_path / "codes.index")
     with open(path, "wb") as f:

@@ -21,7 +21,10 @@ def test_committed_manifests_consistent():
     for name in ("data_train.csv", "data_test.csv",
                  "data_train_full_face.csv", "data_train_combination3.csv",
                  "figaro_training.csv", "figaro_testing.csv",
-                 "k_hairstyle_training.csv", "k_hairstyle_testing.csv"):
+                 "k_hairstyle_training.csv", "k_hairstyle_testing.csv",
+                 # the reference k-hairstyle scripts' exact basenames
+                 "training_classification_labels.csv",
+                 "testing_classification_labels.csv"):
         path = os.path.join(REPO, "HairPretraining/data", name)
         with open(path) as f:
             rows = list(csv.DictReader(f))
@@ -61,8 +64,33 @@ def test_pretrain_script_runs_from_fresh_clone(tmp_path):
     proc = subprocess.run(
         ["bash", knn,
          "--model", "resnet18", "--size", "32", "--batch_size", "8",
-         "--num_workers", "2", "--save_path", str(tmp_path / "figaro_out")],
+         "--num_workers", "2", "--save_path", str(tmp_path / "figaro_out"),
+         # the faithful script runs linear_prob (reference field);
+         # override to the fast kNN protocol for the smoke run
+         "--eval_type", "knn"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, (proc.stdout[-1500:], proc.stderr[-1500:])
     results = list((tmp_path / "figaro_out").glob("**/*.txt"))
     assert results, "no kNN result artifacts written"
+
+
+def test_scripts_match_generator_and_reference_table():
+    """The committed scripts are exactly what tools/gen_scripts.py renders
+    from tools/ref_scripts_fields.json (the semantic-field table extracted
+    from the reference's 75 scripts; deliberate transforms documented in
+    docs/SCRIPTS_AUDIT.md). Guards against hand-edit drift."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_scripts", os.path.join(REPO, "tools", "gen_scripts.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    with open(gen.TABLE_PATH) as fh:
+        table = json.load(fh)
+    assert len(table) == 75
+    for rel, fields in sorted(table.items()):
+        path = os.path.join(REPO, "HairPretraining", "scripts", rel)
+        with open(path) as fh:
+            committed = fh.read()
+        assert committed == gen.render(rel, fields), f"{rel} drifted"

@@ -39,6 +39,35 @@ def test_simclr_extract_features_shape():
     assert feats.shape == (4, 512)
 
 
+def test_s2r2_mode_trains():
+    """`--mode S2R2` = SimCLR + Smooth-AP regularizer. The reference lists
+    the mode but crashes on it (mainpretrain.py:61 vs :147-171, no model
+    branch); hairci wires it — see PARITY.md deviations."""
+    from hairci.aug.pipelines import simclr_transform
+    from hairci.cli.mainpretrain import build_recipe_from_args
+    from hairci.utils import parse_pretrain_args
+
+    args = parse_pretrain_args(
+        ["--mode", "S2R2", "--model", "resnet18", "--size", "32"])
+    recipe = build_recipe_from_args(args, num_batches=1)
+    assert recipe.s2r2_weight == 1.0
+    # a tiny step must run with the regularizer active and stay finite,
+    # and differ from the plain-simclr loss on the same batch
+    recipe = build_recipe("simclr", backbone="resnet18", img_size=32,
+                          transform=simclr_transform(32), dtype=jnp.float32,
+                          s2r2_weight=1.0)
+    plain = _tiny_recipe()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (8, 48, 48, 3), dtype=np.uint8))
+    state = recipe.create_state(jax.random.key(0), images)
+    _, m_reg = jax.jit(recipe.train_step)(state, {"image": images},
+                                          jax.random.key(1))
+    _, m_plain = jax.jit(plain.train_step)(state, {"image": images},
+                                           jax.random.key(1))
+    assert np.isfinite(float(m_reg["loss"]))
+    assert float(m_reg["loss"]) != float(m_plain["loss"])
+
+
 def test_simclr_train_step_sharded():
     """The step compiles and runs with the batch sharded over an 8-device
     data mesh — global-batch NT-Xent + sync-BN path."""

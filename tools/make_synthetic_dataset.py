@@ -16,13 +16,15 @@ def write_benchmark_manifests(out: str) -> None:
     data_{train,test}.csv in ``out``.
 
     The reference's classification scripts reference
-    ``figaro_{training,testing}.csv`` and ``k_hairstyle_{training,testing}.csv``
-    (e.g. /root/reference/HairPretraining/scripts/classification/figaro/knn_our.sh)
-    but ships neither — SURVEY.md §2.1 "not present in repo". These sample
-    stand-ins reuse the committed synthetic images with benchmark-shaped
-    splits so every script runs out-of-box: figaro coarsens to 4 classes
-    with a 75% split; k_hairstyle keeps all classes with an interleaved
-    3:1 split.
+    ``figaro_{training,testing}.csv`` and the k-hairstyle benchmark's
+    ``{training,testing}_classification_labels.csv``
+    (e.g. /root/reference/HairPretraining/scripts/classification/figaro/knn_our.sh,
+    .../k_hairstyle/knn_our.sh) but ships neither — SURVEY.md §2.1 "not
+    present in repo". These sample stand-ins reuse the committed synthetic
+    images with benchmark-shaped splits so every script runs out-of-box:
+    figaro coarsens to 4 classes with a 75% split; k_hairstyle keeps all
+    classes with an interleaved 3:1 split (written under both the
+    reference's basenames and the descriptive ``k_hairstyle_*`` aliases).
     """
     rows = []
     for name in ("data_train.csv", "data_test.csv"):
@@ -38,10 +40,13 @@ def write_benchmark_manifests(out: str) -> None:
     split = int(len(figaro) * 0.75)
     _write("figaro_training.csv", figaro[:split])
     _write("figaro_testing.csv", figaro[split:])
-    _write("k_hairstyle_training.csv",
-           [r for i, r in enumerate(rows) if i % 4 != 3])
-    _write("k_hairstyle_testing.csv",
-           [r for i, r in enumerate(rows) if i % 4 == 3])
+    kh_train = [r for i, r in enumerate(rows) if i % 4 != 3]
+    kh_test = [r for i, r in enumerate(rows) if i % 4 == 3]
+    _write("k_hairstyle_training.csv", kh_train)
+    _write("k_hairstyle_testing.csv", kh_test)
+    # the reference scripts' exact basenames
+    _write("training_classification_labels.csv", kh_train)
+    _write("testing_classification_labels.csv", kh_test)
     print(f"wrote figaro/k_hairstyle sample manifests to {out}")
 
 

@@ -125,7 +125,10 @@ class _PreNormFF(nn.Module):
     def __call__(self, x):
         y = nn.LayerNorm(dtype=jnp.float32)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y, approximate=False)  # torch nn.GELU (exact)
+        # torch nn.GELU (exact) in f32; tanh-approx in bf16 (sub-quantization
+        # error, 5x cheaper on the VPU — see models/vit.py:gelu)
+        from hairci.models.vit import gelu
+        y = gelu(y)
         y = nn.Dense(x.shape[-1], dtype=self.dtype)(y)
         return x + y
 

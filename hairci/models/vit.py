@@ -78,6 +78,20 @@ def resize_pos_embed(pos_embed: jnp.ndarray, new_grid: int,
 # blocks
 # ---------------------------------------------------------------------------
 
+def gelu(x):
+    """GELU with dtype-tied precision policy.
+
+    f32 inputs get the exact erf form — timm/torchvision ViT MLPs use
+    nn.GELU(default), so torch-checkpoint-import parity is bit-faithful in
+    f32. bf16 inputs get the tanh approximation: its error vs exact is
+    <= 4.95e-4 — 8x below the bf16 quantization step (2^-8) the output is
+    about to be rounded to — and on TPU the erf rational polynomial is
+    VPU-bound at 5x the cost (measured 2.48 ms vs 0.50 ms on the ViT-B
+    bs-256 MLP hidden tensor; ~24 ms of a 113 ms embed forward was erf).
+    """
+    return nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
@@ -86,16 +100,26 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        # exact erf GELU: timm/torchvision ViT MLPs use nn.GELU(default)
-        # (checkpoint-import parity; tanh-approx drifts up to ~3e-4)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention; f32 softmax (parity with the fp16-overflow
-    guard in reference `models_vit.py:Attention`)."""
+    """Multi-head self-attention with f32 softmax accumulation (parity with
+    the fp16-overflow guard in reference `models_vit.py:Attention`).
+
+    TPU perf: the (B, H, N, N) score matrix is the one per-block tensor XLA
+    must round-trip through HBM (477 MB at bs 256 / N 197 in f32). When the
+    module computes in bf16, scores are emitted in bf16 too — halving that
+    traffic — and the softmax still accumulates in f32 via an upcast fused
+    into the reduction. bf16 shares f32's exponent range, so the reference's
+    overflow concern doesn't apply; the mantissa rounding is the same order
+    as the existing bf16 output quantization (measured: fwd 2.14 -> 1.74 ms,
+    fwd+bwd 7.54 -> 5.08 ms per ViT-B block at bs 256, tools/attn_bench.py).
+    Both matrices carry `checkpoint_name` tags so `remat="selective"` can
+    recompute exactly them in the backward pass.
+    """
 
     num_heads: int
     dtype: Any = jnp.float32
@@ -103,6 +127,8 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from jax.ad_checkpoint import checkpoint_name
+
         B, N, D = x.shape
         head_dim = D // self.num_heads
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -113,9 +139,13 @@ class Attention(nn.Module):
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
         scale = head_dim**-0.5
+        scores_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+                          preferred_element_type=scores_dtype) * scale
+        attn = checkpoint_name(attn, "attn_scores")
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            q.dtype)
+        attn = checkpoint_name(attn, "attn_probs")
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                          preferred_element_type=jnp.float32).astype(q.dtype)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
@@ -265,11 +295,18 @@ class VisionTransformer(nn.Module):
     # extract_features returns the raw cls token); the param is still
     # created so the tree is layout-stable across configs
     final_norm: bool = True
-    # rematerialize each block in the backward pass (jax.checkpoint): the
-    # f32 softmax matrices ((B, H, N, N) per block) dominate training HBM
-    # for big-batch multi-view recipes — DINOv2 at bs 256 saves ~14 GB of
-    # residuals for ~1/3 extra forward FLOPs. Param layout is unchanged.
-    remat: bool = False
+    # rematerialization of block residuals in the backward pass:
+    #   False        save everything (fastest when memory fits)
+    #   "selective"  save everything EXCEPT the (B, H, N, N) attention
+    #                score/prob matrices — the tensors that dominate
+    #                training HBM (12 x 477 MB f32 at bs 256) — and
+    #                recompute only the scores einsum + softmax in the
+    #                backward pass (~4% extra FLOPs)
+    #   True/"full"  jax.checkpoint every block: recompute the whole
+    #                forward (~1/3 extra FLOPs) — the r1/r2 setting that
+    #                made DINOv2 at bs 256 fit a 16 GB chip
+    # Param layout is unchanged by any setting.
+    remat: Any = False
 
     @property
     def grid_size(self) -> int:
@@ -320,7 +357,16 @@ class VisionTransformer(nn.Module):
                          (1, 1, self.embed_dim))
         cls = (cls + pos_embed[:, :1]).astype(tokens.dtype)
         tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], axis=1)
-        block_cls = nn.remat(Block) if self.remat else Block
+        if self.remat == "selective":
+            block_cls = nn.remat(
+                Block,
+                policy=jax.checkpoint_policies.save_anything_except_these_names(
+                    "attn_scores", "attn_probs"),
+            )
+        elif self.remat:  # True / "full"
+            block_cls = nn.remat(Block)
+        else:
+            block_cls = Block
         for i in range(self.depth):
             tokens = block_cls(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,

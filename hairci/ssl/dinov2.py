@@ -40,7 +40,10 @@ class DINOv2Module(nn.Module):
     # (`backbone.py:1070-1076` ibot_separate_head=False)
     ibot_separate_head: bool = False
     dtype: Any = jnp.float32
-    remat: bool = True  # 10 views/step: block remat keeps big batches in HBM
+    # 10 views/step: full block remat keeps bs-256 single-chip in HBM;
+    # "selective" (recompute only attention matrices) is ~faster where the
+    # per-chip batch is small (multi-chip DP) — see models/vit.py remat
+    remat: Any = True
 
     def setup(self):
         self.backbone = build_vit(self.backbone_name, img_size=self.img_size,
@@ -90,12 +93,14 @@ class DINOv2Recipe:
         epochs: int = 100,
         steps_per_epoch: int = 100,
         koleo_weight: float = 0.1,
+        remat: Any = True,
         **_unused,
     ):
         if backbone in ("resnet18", "resnet50", "vit_b_16"):
             backbone = "vit_small_patch16"  # DINOv2() is ViT-S (`backbone.py:1021`)
         self.module = DINOv2Module(backbone_name=backbone, img_size=img_size,
-                                   head_out=head_out, dtype=dtype)
+                                   head_out=head_out, dtype=dtype,
+                                   remat=remat)
         self.img_size = img_size
         self.head_out = head_out
         self.mask_ratio = mask_ratio

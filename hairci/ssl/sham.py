@@ -73,18 +73,21 @@ class SHAMModule(nn.Module):
     backbone_name: str = "resnet18"
     img_size: int = 224
     dtype: Any = jnp.float32
+    # ViT remat mode (models/vit.py): the SHAM step runs 3 grad-carrying
+    # backbone passes; without block remat the saved attention matrices
+    # alone are 3B·H·N² per block (~21 GB f32 for ViT-B at bs 256) — OOM
+    # on a 16 GB chip, hence full remat by default. "selective" recomputes
+    # only the attention matrices — the faster setting when the per-chip
+    # batch is small (multi-chip DP). ResNets ignore this (conv residuals
+    # are the activations themselves).
+    remat: Any = True
 
     def setup(self):
         name = ("vit_base_patch16" if self.backbone_name == "vit_b_16"
                 else self.backbone_name)
         kw = {}
         if name.startswith("vit"):
-            # the SHAM step runs 3 grad-carrying backbone passes; without
-            # block remat the saved f32 attention matrices alone are
-            # 3B·H·N² f32 per block (~21 GB for ViT-B at bs 256) — OOM on
-            # a 16 GB chip. ResNets don't need it (conv residuals are the
-            # activations themselves).
-            kw["remat"] = True
+            kw["remat"] = self.remat
         self.backbone = build_backbone(
             name, img_size=self.img_size, dtype=self.dtype, **kw)
         _, hidden, out = _PROJ_DIMS[self.backbone_name]
@@ -140,6 +143,7 @@ class SHAMRecipe:
         transform: Optional[MultiViewTransform] = None,
         mask_ratio_range: Tuple[float, float] = (0.1, 0.5),
         s2r2_weight: float = 0.0,
+        remat: Any = True,
     ):
         # `--S2R2` adds the Smooth-AP regularizer; the reference constructs
         # S2R2Loss(tau=0.01, k_views=3) for it (`pretrain_engine.py:99`) —
@@ -152,7 +156,7 @@ class SHAMRecipe:
         elif ablation == "fixed_margin_0_5":
             margin_stage1 = margin_stage2 = 0.5
         self.module = SHAMModule(backbone_name=backbone, img_size=img_size,
-                                 dtype=dtype)
+                                 dtype=dtype, remat=remat)
         self.temperature = temperature
         self.ema_momentum = ema_momentum
         self.warm_up_epochs = warm_up_epochs

@@ -1,7 +1,26 @@
-"""ViT-family throughput on the real TPU: ViT-B/16 embed, MAE pretrain
-step, DINOv2 step (bench.py methodology: in-jit lax.scan with a data
-dependency, fixed overhead removed by differencing two iteration counts).
-Run: `python -m tools.vit_bench`."""
+"""ViT-family throughput + roofline decomposition on the real TPU.
+
+Covers the r2-verdict ask: profile and decompose the ViT path the way the
+ResNet path was (BENCH_RESULTS.md), with each lever measured:
+  embed       ViT-B/16 embed + compiled-HLO FLOP count -> honest MFU
+  decomp      per-component embed decomposition (patchify / attention /
+              dense matmuls / norms) by differencing ablated graphs
+  mae         MAE pretrain step
+  dinov2      DINOv2 step, remat mode sweep (full vs selective) at the
+              largest batch each fits
+  sham        SHAM mined-stage step with ViT-B backbone, remat sweep
+  siameseim   SiameseIM step
+  face        ViT-face embed (112 px serving path)
+
+Run: `python -m tools.vit_bench [section ...]` (default: embed mae dinov2).
+Timing: bench.py methodology — in-jit lax.scan with a data dependency,
+fixed overhead removed by differencing two iteration counts (the axon
+relay's block_until_ready does not block; CLAUDE.md).
+
+Reference surfaces matched: `/root/reference/src/models_vit.py:26-270`
+(ViT forward), `/root/reference/HairPretraining/src/pretrain_engine.py:
+402-512` (DINOv2 loop), `:602-757` (SHAM loop).
+"""
 from __future__ import annotations
 
 import sys
@@ -15,6 +34,10 @@ import numpy as np
 from hairci.ssl import build_recipe
 
 BATCH = 256
+# the max this chip has measurably sustained on an isolated bf16 conv/matmul
+# (tools/fused_conv_bn_bench.py, r2)
+OBSERVED_SUSTAIN_FLOPS = 122e12
+V5E_PEAK_FLOPS = 197e12
 
 
 def timed(run, small, large, repeats=2):
@@ -34,13 +57,25 @@ def _t(run, it):
     return time.perf_counter() - t0
 
 
-def bench_embed(recipe, images, batch):
+def compiled_flops(fn, *args) -> float:
+    """FLOPs of one call from XLA's compiled-HLO cost analysis."""
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception as e:  # relay AOT may not expose cost analysis
+        print(f"  cost_analysis unavailable: {e}", file=sys.stderr)
+        return float("nan")
+
+
+def bench_embed(recipe, images, batch, label="", flops=False):
     from hairci.aug.pipelines import knn_transform
 
     state = recipe.create_state(jax.random.key(0), images[:8])
-    variables = {"params": state.params}
-    if getattr(state, "batch_stats", None):
-        variables["batch_stats"] = state.batch_stats
+
+    def one_embed(state, imgs):
+        return recipe.extract_features(state, knn_transform(imgs))
 
     @partial(jax.jit, static_argnames="iters")
     def loop(state, imgs, iters):
@@ -56,10 +91,21 @@ def bench_embed(recipe, images, batch):
     def run(it):
         return float(loop(state, images, it))
 
-    return batch / timed(run, 2, 12)
+    per = timed(run, 2, 12)
+    ips = batch / per
+    line = f"{label}: {ips:.1f} img/s/chip"
+    if flops:
+        f = compiled_flops(one_embed, state, images)
+        if f == f:  # not NaN
+            tf = f / per / 1e12
+            line += (f"  [{f/batch/1e9:.1f} GFLOP/img compiled; {tf:.1f} TF/s"
+                     f" = {tf*1e12/OBSERVED_SUSTAIN_FLOPS:.2f} of measured"
+                     f" sustain, {tf*1e12/V5E_PEAK_FLOPS:.2f} of v5e peak]")
+    print(line)
+    return ips
 
 
-def bench_train(recipe, images, batch, **step_kw):
+def bench_train(recipe, images, batch, label="", flops=False, **step_kw):
     state = recipe.create_state(jax.random.key(0), images[:8])
 
     @partial(jax.jit, static_argnames="iters")
@@ -78,30 +124,189 @@ def bench_train(recipe, images, batch, **step_kw):
     def run(it):
         return float(loop(state, images, it))
 
-    return batch / timed(run, 1, 5)
+    per = timed(run, 1, 5)
+    ips = batch / per
+    line = f"{label}: {ips:.1f} img/s/chip"
+    if flops:
+        def one_step(state, imgs):
+            st, m = recipe.train_step(state, {"image": imgs},
+                                      jax.random.key(0), **step_kw)
+            return m["loss"]
+
+        f = compiled_flops(one_step, state, images)
+        if f == f:
+            tf = f / per / 1e12
+            line += (f"  [{f/batch/1e9:.1f} GFLOP/img compiled; {tf:.1f} TF/s"
+                     f" = {tf*1e12/OBSERVED_SUSTAIN_FLOPS:.2f} of measured"
+                     f" sustain]")
+    print(line)
+    return ips
 
 
-def main():
+# ---------------------------------------------------------------------------
+# embed decomposition: isolated components at the model's exact shapes
+# (same approach as the r2 BN-reduce investigation, tools/bn_stats_bench.py)
+# ---------------------------------------------------------------------------
+
+def _measure_component(label, fn, args, per_fwd=1):
+    @partial(jax.jit, static_argnames="iters")
+    def loop(x, *rest, iters):
+        def body(carry, _):
+            out = fn(x + carry.astype(x.dtype) * 0, *rest)
+            return jnp.sum(out.astype(jnp.float32)), ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    def run(it):
+        return float(loop(*args, iters=it))
+
+    per = timed(run, 2, 12)
+    print(f"{label}: {per*1e3:.2f} ms  (x{per_fwd} per forward = "
+          f"{per*per_fwd*1e3:.1f} ms)")
+    return per * per_fwd
+
+
+def section_decomp(images):
+    """ViT-B/16 embed cost decomposition at bs 256: each component timed in
+    isolation at its exact in-model shape; the sum is compared against the
+    measured full forward (gaps = fusion/overlap effects)."""
+    import flax.linen as fnn
+
+    B, N, D, H = BATCH, 197, 768, 12
+    rng = np.random.default_rng(0)
+    bf = jnp.bfloat16
+    x_tok = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32), bf)
+    q = jnp.asarray(rng.normal(size=(B, H, N, D // H)).astype(np.float32), bf)
+    x_img = jnp.asarray(rng.normal(size=(B, 224, 224, 3)).astype(np.float32),
+                        bf)
+
+    w_qkv = jnp.asarray(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.02,
+                        bf)
+    w_fc1 = jnp.asarray(rng.normal(size=(D, 4 * D)).astype(np.float32) * 0.02,
+                        bf)
+    w_fc2 = jnp.asarray(rng.normal(size=(4 * D, D)).astype(np.float32) * 0.02,
+                        bf)
+    w_patch = jnp.asarray(
+        rng.normal(size=(16, 16, 3, D)).astype(np.float32) * 0.02, bf)
+
+    total = 0.0
+    total += _measure_component(
+        "patch embed conv 16x16/16", lambda x: jax.lax.conv_general_dilated(
+            x, w_patch, (16, 16), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), (x_img,))
+    total += _measure_component(
+        "qkv matmul (B*N,768)@(768,2304)",
+        lambda x: jnp.einsum("bnd,df->bnf", x, w_qkv), (x_tok,), per_fwd=12)
+    total += _measure_component(
+        "attention core (scores+softmax+PV, bf16 scores)",
+        lambda q: _attn_core(q, q, q), (q,), per_fwd=12)
+    total += _measure_component(
+        "proj matmul (B*N,768)@(768,768)",
+        lambda x: jnp.einsum("bnd,de->bne", x, w_fc2[:D, :]), (x_tok,),
+        per_fwd=12)
+    total += _measure_component(
+        "mlp fc1+gelu+fc2",
+        lambda x: jnp.einsum(
+            "bnh,hd->bnd",
+            jax.nn.gelu(jnp.einsum("bnd,dh->bnh", x, w_fc1),
+                        approximate=False), w_fc2),
+        (x_tok,), per_fwd=12)
+    ln = fnn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+    ln_p = ln.init(jax.random.key(0), x_tok)
+    total += _measure_component(
+        "LayerNorm f32 (B,N,768)", lambda x: ln.apply(ln_p, x), (x_tok,),
+        per_fwd=25)
+    print(f"component sum: {total*1e3:.1f} ms/batch "
+          f"(compare against the measured full embed)")
+
+
+def _attn_core(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=q.dtype) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def main(argv):
+    sections = argv or ["embed", "mae", "dinov2"]
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8))
 
-    vit = build_recipe("mae", backbone="vit_base_patch16", img_size=224,
-                       dtype=jnp.bfloat16)
-    ips = bench_embed(vit, images, BATCH)
-    print(f"ViT-B/16 embed: {ips:.1f} img/s/chip")
+    if "embed" in sections:
+        vit = build_recipe("mae", backbone="vit_base_patch16", img_size=224,
+                           dtype=jnp.bfloat16)
+        bench_embed(vit, images, BATCH, label="ViT-B/16 embed", flops=True)
 
-    ips = bench_train(vit, images, BATCH)
-    print(f"MAE pretrain step (mask 0.75, depth-8 decoder): "
-          f"{ips:.1f} img/s/chip")
+    if "decomp" in sections:
+        section_decomp(images)
 
-    dino = build_recipe("dinov2", backbone="vit_base_patch16", img_size=224,
-                        dtype=jnp.bfloat16)
-    ips = bench_train(dino, images, BATCH)
-    print(f"DINOv2 step (2 global views, iBOT masking, EMA teacher): "
-          f"{ips:.1f} img/s/chip")
+    if "mae" in sections:
+        vit = build_recipe("mae", backbone="vit_base_patch16", img_size=224,
+                           dtype=jnp.bfloat16)
+        bench_train(vit, images, BATCH,
+                    label="MAE pretrain step (mask 0.75, depth-8 decoder)",
+                    flops=True)
+
+    if "dinov2" in sections:
+        for remat in ("full-remat", "selective-remat"):
+            try:
+                dino = build_recipe(
+                    "dinov2", backbone="vit_base_patch16", img_size=224,
+                    dtype=jnp.bfloat16,
+                    remat=True if remat == "full-remat" else "selective")
+                bench_train(dino, images, BATCH,
+                            label=f"DINOv2 step [{remat}]")
+            except Exception as e:
+                print(f"DINOv2 step [{remat}]: FAILED "
+                      f"({type(e).__name__}: {str(e)[:200]})")
+
+    if "sham" in sections:
+        for remat in ("full-remat", "selective-remat"):
+            try:
+                sham = build_recipe(
+                    "SHAM", backbone="vit_b_16", img_size=224,
+                    dtype=jnp.bfloat16, num_batches=1,
+                    remat=True if remat == "full-remat" else "selective")
+                bench_train(sham, images, BATCH,
+                            label=f"SHAM mined step ViT-B [{remat}]",
+                            stage="mined", batch_id=0)
+            except Exception as e:
+                print(f"SHAM mined step ViT-B [{remat}]: FAILED "
+                      f"({type(e).__name__}: {str(e)[:200]})")
+
+    if "siameseim" in sections:
+        sim = build_recipe("siameseim", backbone="vit_base_patch16",
+                           img_size=224, dtype=jnp.bfloat16)
+        bench_train(sim, images, BATCH, label="SiameseIM step")
+
+    if "face" in sections:
+        from hairci.retrieval.encoders import FaceEncoder
+
+        enc = FaceEncoder(model_name="VIT")
+        imgs112 = jnp.asarray(
+            rng.integers(0, 256, (BATCH, 112, 112, 3), dtype=np.uint8))
+
+        @partial(jax.jit, static_argnames="iters")
+        def loop(params, imgs, iters):
+            def body(carry, _):
+                f = enc._embed_fn(params,
+                                  imgs + (carry * 0).astype(imgs.dtype))
+                return jnp.sum(f.astype(jnp.float32)), ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+
+        def run(it):
+            return float(loop(enc.params, imgs112, it))
+
+        per = timed(run, 2, 12)
+        print(f"ViT-face embed (112px): {BATCH/per:.1f} img/s/chip")
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])

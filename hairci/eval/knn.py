@@ -32,8 +32,16 @@ def _knn_predict_chunk(
     k: int,
     num_classes: int,
 ) -> jnp.ndarray:
+    # Precision.HIGHEST: the reference's sklearn path accumulates this dot
+    # in f32 BLAS (max err ~4e-8 at D=2048); TPU default precision is a
+    # single bf16 pass (~2e-4), enough to swap k-th/(k+1)-th neighbors whose
+    # true gap is ~1e-5 at a 100k gallery and flip tied votes. HIGHEST
+    # restores f32-grade accumulation (~1.4e-8 measured) so prediction
+    # parity holds at reference scale; the extra matmul passes are noise
+    # next to feature extraction in knn_eval wall-clock.
     sims = jnp.einsum("qd,nd->qn", query, gallery,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     _, idx = jax.lax.top_k(sims, k)                      # (Q, k)
     votes = labels[idx]                                  # (Q, k)
     counts = jnp.sum(jax.nn.one_hot(votes, num_classes, dtype=jnp.float32),

@@ -38,6 +38,10 @@ OBSERVED_SUSTAIN_FLOPS = 122e12
 # 6.3e12 from the compiled-HLO conv inventory (BENCH_RESULTS.md
 # "BN-reduce investigation").
 SIMCLR_STEP_FLOPS = 6.3e12
+# ViT-B/16 224px embed FLOPs per image from XLA's compiled-HLO cost
+# analysis (tools/vit_bench.py embed section; the eval transform adds
+# no meaningful FLOPs and is hoisted out of the timed loop).
+VIT_EMBED_FLOPS_PER_IMG = 35.3e9
 
 
 def _timed(run, small, large, repeats: int = 2):
@@ -136,6 +140,34 @@ def bench_train_sham(images) -> float:
     return BATCH / per_iter
 
 
+def bench_embed_vit(images) -> float:
+    """ViT-B/16 embed (the reference's `--model vit_b_16` eval path,
+    `/root/reference/src/models_vit.py:26-270`): bf16 blocks with bf16
+    attention scores + f32-accumulated softmax (models/vit.py)."""
+    from hairci.aug.pipelines import knn_transform
+    from hairci.ssl import build_recipe
+
+    recipe = build_recipe("mae", backbone="vit_base_patch16", img_size=224,
+                          dtype=jnp.bfloat16)
+    state = recipe.create_state(jax.random.key(0), images[:8])
+
+    @partial(jax.jit, static_argnames="iters")
+    def loop(state, imgs, iters):
+        x0 = knn_transform(imgs)  # once, outside the loop (= bench_embed)
+
+        def body(carry, _):
+            feats = recipe.extract_features(state, x0 + carry * 0.0)
+            return jnp.sum(feats.astype(jnp.float32)), ()
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return carry
+
+    def run(it):
+        return float(loop(state, images, it))
+
+    return BATCH / _timed(run, 2, 12)
+
+
 def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
                         k: int = 5) -> float:
     from hairci.ops.topk_pallas import topk_gallery_search
@@ -216,6 +248,15 @@ def main() -> None:
         ("retrieval query latency, 100k x 512 gallery", 150, lambda: {
             "query_p50_ms_100k_gallery":
                 round(bench_query_latency() * 1e3, 2)}),
+        ("ViT-B/16 embed", 250, lambda: (
+            lambda ips: {
+                "vit_embed_images_per_sec_per_chip": ips,
+                "vit_embed_mfu_vs_v5e_peak": round(
+                    ips * VIT_EMBED_FLOPS_PER_IMG / V5E_PEAK_FLOPS, 3),
+                "vit_embed_mfu_vs_observed_sustain": round(
+                    ips * VIT_EMBED_FLOPS_PER_IMG / OBSERVED_SUSTAIN_FLOPS,
+                    3),
+            })(round(bench_embed_vit(images) / n_chips, 1))),
         ("SHAM train step, mined stage", 400, lambda: {
             "sham_train_images_per_sec_per_chip":
                 round(bench_train_sham(images) / n_chips, 1)}),

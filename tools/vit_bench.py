@@ -106,7 +106,9 @@ def bench_embed(recipe, images, batch, label="", flops=False):
 
 
 def bench_train(recipe, images, batch, label="", flops=False, **step_kw):
-    state = recipe.create_state(jax.random.key(0), images[:8])
+    # full-batch init: SHAM sizes its persistent neg_indices cache from the
+    # sample batch, and the mined-stage gather must match the step batch
+    state = recipe.create_state(jax.random.key(0), images)
 
     @partial(jax.jit, static_argnames="iters")
     def loop(state, imgs, iters):
@@ -231,6 +233,12 @@ def _attn_core(q, k, v):
 
 
 def main(argv):
+    global BATCH
+    argv = list(argv)
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        BATCH = int(argv[i + 1])
+        del argv[i:i + 2]
     sections = argv or ["embed", "mae", "dinov2"]
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)

@@ -75,18 +75,95 @@ class TorchResNet18(tnn.Module):
         return x.mean(dim=(2, 3))
 
 
-class SHAMTorch(tnn.Module):
-    """SHAM2-equivalent: trunk + lightly SimCLRProjectionHead dims for
-    resnet18 (main_backbone.py:571-586) — shared by the accuracy-parity
-    and step-parity harnesses."""
+class TorchBottleneck(tnn.Module):
+    """torchvision v1.5 Bottleneck (stride on the 3x3) — mirrors
+    `hairci/models/resnet.py:BottleneckBlock`."""
+
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = torch.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return torch.relu(out + idt)
+
+
+class TorchResNet50(tnn.Module):
+    """torchvision-layout ResNet-50 trunk (pooled features, no fc) —
+    mirrors `hairci/models/resnet.py` Bottleneck stages [3,4,6,3]."""
 
     def __init__(self, zero_init_residual: bool = False):
         super().__init__()
-        self.backbone = TorchResNet18(zero_init_residual=zero_init_residual)
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        layers = []
+        cin = 64
+        for stage, (width, n) in enumerate(
+                zip([64, 128, 256, 512], [3, 4, 6, 3])):
+            blocks = []
+            for b in range(n):
+                stride = 2 if stage > 0 and b == 0 else 1
+                blocks.append(TorchBottleneck(cin, width, stride))
+                cin = width * 4
+            layers.append(tnn.Sequential(*blocks))
+        self.layer1, self.layer2, self.layer3, self.layer4 = layers
+        for m in self.modules():
+            if isinstance(m, tnn.Conv2d):
+                tnn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                         nonlinearity="relu")
+            elif isinstance(m, tnn.BatchNorm2d):
+                tnn.init.constant_(m.weight, 1.0)
+                tnn.init.constant_(m.bias, 0.0)
+        if zero_init_residual:
+            for m in self.modules():
+                if isinstance(m, TorchBottleneck):
+                    tnn.init.constant_(m.bn3.weight, 0.0)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+        return x.mean(dim=(2, 3))
+
+
+# SHAM2 projection dims per backbone (`main_backbone.py:571-589`,
+# SimCLRProjectionHead(input, input, output)); matches
+# hairci/ssl/sham.py:_PROJ_DIMS
+_SHAM_DIMS = {"resnet18": (512, 128), "resnet50": (2048, 1024)}
+_TRUNKS = {"resnet18": TorchResNet18, "resnet50": TorchResNet50}
+
+
+class SHAMTorch(tnn.Module):
+    """SHAM2-equivalent: trunk + lightly SimCLRProjectionHead dims
+    (main_backbone.py:571-589) — shared by the accuracy-parity and
+    step-parity harnesses."""
+
+    def __init__(self, zero_init_residual: bool = False,
+                 backbone: str = "resnet18"):
+        super().__init__()
+        self.backbone = _TRUNKS[backbone](
+            zero_init_residual=zero_init_residual)
+        d, out = _SHAM_DIMS[backbone]
         self.head = tnn.Sequential(
-            tnn.Linear(512, 512, bias=False), tnn.BatchNorm1d(512),
-            tnn.ReLU(), tnn.Linear(512, 128, bias=False),
-            tnn.BatchNorm1d(128))
+            tnn.Linear(d, d, bias=False), tnn.BatchNorm1d(d),
+            tnn.ReLU(), tnn.Linear(d, out, bias=False),
+            tnn.BatchNorm1d(out))
 
     def forward(self, x):
         return self.head(self.backbone(x))

@@ -42,6 +42,7 @@ from tools.convergence_demo import knn_accuracy, make_dataset  # noqa: E402
 # shared config
 C, SIZE, B = 8, 32, 64
 N_TRAIN, N_TEST = 512, 512
+BACKBONE = "resnet18"  # --backbone resnet50 = the headline-scale config
 TEMP, TRIPLET_W, MSE_W = 0.5, 0.5, 0.2
 MARGIN1, MARGIN2 = 0.7, 0.5
 EMA_M, LR = 0.99, 1e-3
@@ -249,7 +250,8 @@ def train_torch(xs_train, epochs, warmup, seed=0, diag_data=None,
     _SHAMTorch = _torch_modules()
 
     def SHAMTorch():
-        return _SHAMTorch(zero_init_residual=ZERO_INIT_RES)
+        return _SHAMTorch(zero_init_residual=ZERO_INIT_RES,
+                          backbone=BACKBONE)
 
     def nt_xent(z0, z1, temp):
         z0 = F.normalize(z0, dim=1)
@@ -464,7 +466,7 @@ def train_hairci(xs_train, epochs, warmup, seed=0):
     nb = len(xs_train) // B
     v = ViewConfig(size=SIZE, cj_hue=0.0, blur_kernel=VIEW_BLUR_K)
     recipe = build_recipe(
-        "SHAM", backbone="resnet18", img_size=SIZE, dtype=jnp.float32,
+        "SHAM", backbone=BACKBONE, img_size=SIZE, dtype=jnp.float32,
         warm_up_epochs=warmup, num_batches=nb,
         triplet_w=TRIPLET_W, mse_w=MSE_W,
         transform=MultiViewTransform((v, v)))
@@ -509,7 +511,8 @@ def _eval(features, xs_tr, ys_tr, xs_te, ys_te):
 
 
 def main(argv=None):
-    global SIZE, N_TRAIN
+    global SIZE, N_TRAIN, BACKBONE, B
+    global VIEW_BLUR_K, TRIPLET_W, MSE_W, CROSS_AUG, ZERO_INIT_RES
     p = argparse.ArgumentParser()
     p.add_argument("--side", default="both",
                    choices=["both", "torch", "hairci"])
@@ -519,6 +522,11 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=SIZE)
     p.add_argument("--n_train", type=int, default=N_TRAIN)
     p.add_argument("--out", default="/tmp/accuracy_parity.json")
+    p.add_argument("--backbone", default="resnet18",
+                   choices=["resnet18", "resnet50"],
+                   help="resnet50 at --size >= 112 is the headline-scale "
+                        "config (VERDICT r2 #5)")
+    p.add_argument("--batch", type=int, default=B)
     p.add_argument("--diag_every", type=int, default=0,
                    help="torch side: every N epochs print kNN top-1 under "
                         "running-BN vs batch-BN plus feature spread")
@@ -538,8 +546,8 @@ def main(argv=None):
                         "BN gammas (matched-init comparison; the reference "
                         "default is gamma=1)")
     args = p.parse_args(argv)
-    global VIEW_BLUR_K, TRIPLET_W, MSE_W, CROSS_AUG, ZERO_INIT_RES
     ZERO_INIT_RES = args.torch_zero_init_residual
+    BACKBONE, B = args.backbone, args.batch
     SIZE, N_TRAIN = args.size, args.n_train
     VIEW_BLUR_K = args.view_blur_k or None
     CROSS_AUG = args.cross_aug
@@ -554,6 +562,7 @@ def main(argv=None):
     results = {"config": {"epochs": args.epochs, "warmup": args.warmup,
                           "n_train": N_TRAIN, "n_test": N_TEST,
                           "size": SIZE, "batch": B, "seed": args.seed,
+                          "backbone": BACKBONE,
                           "view_blur_k": VIEW_BLUR_K}}
     if args.side in ("both", "torch"):
         f = train_torch(xs_tr, args.epochs, args.warmup, args.seed,

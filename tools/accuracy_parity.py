@@ -563,7 +563,8 @@ def main(argv=None):
                           "n_train": N_TRAIN, "n_test": N_TEST,
                           "size": SIZE, "batch": B, "seed": args.seed,
                           "backbone": BACKBONE,
-                          "view_blur_k": VIEW_BLUR_K}}
+                          "view_blur_k": VIEW_BLUR_K,
+                          "torch_zero_init_residual": ZERO_INIT_RES}}
     if args.side in ("both", "torch"):
         f = train_torch(xs_tr, args.epochs, args.warmup, args.seed,
                         diag_data=(xs_tr, ys_tr, xs_te, ys_te),

@@ -38,10 +38,11 @@ OBSERVED_SUSTAIN_FLOPS = 122e12
 # 6.3e12 from the compiled-HLO conv inventory (BENCH_RESULTS.md
 # "BN-reduce investigation").
 SIMCLR_STEP_FLOPS = 6.3e12
-# ViT-B/16 224px embed FLOPs per image from XLA's compiled-HLO cost
-# analysis (tools/vit_bench.py embed section; the eval transform adds
-# no meaningful FLOPs and is hoisted out of the timed loop).
-VIT_EMBED_FLOPS_PER_IMG = 35.3e9
+# Fallback ViT-B/16 224px embed FLOPs per image (compiled-HLO snapshot,
+# tools/vit_bench.py embed section) — used only when the relay backend
+# hides cost_analysis; bench_embed_vit recomputes it at runtime so model
+# changes (depth, GELU form, patch size) can't silently skew the MFU.
+VIT_EMBED_FLOPS_PER_IMG_FALLBACK = 35.3e9
 
 
 def _timed(run, small, large, repeats: int = 2):
@@ -140,10 +141,16 @@ def bench_train_sham(images) -> float:
     return BATCH / per_iter
 
 
-def bench_embed_vit(images) -> float:
+def bench_embed_vit(images):
     """ViT-B/16 embed (the reference's `--model vit_b_16` eval path,
     `/root/reference/src/models_vit.py:26-270`): bf16 blocks with bf16
-    attention scores + f32-accumulated softmax (models/vit.py)."""
+    attention scores + f32-accumulated softmax (models/vit.py).
+
+    Returns (img/s, FLOPs/img). The eval transform is applied once
+    outside the scan and the module's extract_features is applied
+    directly to the transformed batch (mirroring bench_embed) — the
+    recipe-level extract_features would re-run knn_transform inside
+    every timed iteration on double-normalized inputs."""
     from hairci.aug.pipelines import knn_transform
     from hairci.ssl import build_recipe
 
@@ -151,21 +158,40 @@ def bench_embed_vit(images) -> float:
                           dtype=jnp.bfloat16)
     state = recipe.create_state(jax.random.key(0), images[:8])
 
+    def features(params, x):
+        return recipe.module.apply({"params": params}, x, train=False,
+                                   method=recipe.module.extract_features)
+
     @partial(jax.jit, static_argnames="iters")
-    def loop(state, imgs, iters):
+    def loop(params, imgs, iters):
         x0 = knn_transform(imgs)  # once, outside the loop (= bench_embed)
 
         def body(carry, _):
-            feats = recipe.extract_features(state, x0 + carry * 0.0)
+            feats = features(params, x0 + carry * 0.0)
             return jnp.sum(feats.astype(jnp.float32)), ()
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return carry
 
     def run(it):
-        return float(loop(state, images, it))
+        return float(loop(state.params, images, it))
 
-    return BATCH / _timed(run, 2, 12)
+    ips = BATCH / _timed(run, 2, 12)
+
+    flops_per_img = VIT_EMBED_FLOPS_PER_IMG_FALLBACK
+    try:  # runtime count of the exact compiled forward (relay may hide it)
+        x0 = knn_transform(images)
+        cost = jax.jit(features).lower(state.params, x0).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        measured = float(cost.get("flops", float("nan"))) / BATCH
+        if measured == measured and measured > 0:
+            flops_per_img = measured
+    except Exception as e:
+        print(f"  cost_analysis unavailable ({e}); using fallback "
+              f"{flops_per_img/1e9:.1f} GFLOP/img", file=sys.stderr)
+    return ips, flops_per_img
 
 
 def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
@@ -249,14 +275,17 @@ def main() -> None:
             "query_p50_ms_100k_gallery":
                 round(bench_query_latency() * 1e3, 2)}),
         ("ViT-B/16 embed", 250, lambda: (
-            lambda ips: {
-                "vit_embed_images_per_sec_per_chip": ips,
+            lambda ips_flops: {
+                "vit_embed_images_per_sec_per_chip":
+                    round(ips_flops[0] / n_chips, 1),
+                "vit_embed_gflops_per_img": round(ips_flops[1] / 1e9, 1),
                 "vit_embed_mfu_vs_v5e_peak": round(
-                    ips * VIT_EMBED_FLOPS_PER_IMG / V5E_PEAK_FLOPS, 3),
-                "vit_embed_mfu_vs_observed_sustain": round(
-                    ips * VIT_EMBED_FLOPS_PER_IMG / OBSERVED_SUSTAIN_FLOPS,
+                    ips_flops[0] / n_chips * ips_flops[1] / V5E_PEAK_FLOPS,
                     3),
-            })(round(bench_embed_vit(images) / n_chips, 1))),
+                "vit_embed_mfu_vs_observed_sustain": round(
+                    ips_flops[0] / n_chips * ips_flops[1]
+                    / OBSERVED_SUSTAIN_FLOPS, 3),
+            })(bench_embed_vit(images))),
         ("SHAM train step, mined stage", 400, lambda: {
             "sham_train_images_per_sec_per_chip":
                 round(bench_train_sham(images) / n_chips, 1)}),

@@ -113,10 +113,13 @@ class Attention(nn.Module):
     must round-trip through HBM (477 MB at bs 256 / N 197 in f32). When the
     module computes in bf16, scores are emitted in bf16 too — halving that
     traffic — and the softmax still accumulates in f32 via an upcast fused
-    into the reduction. bf16 shares f32's exponent range, so the reference's
-    overflow concern doesn't apply; the mantissa rounding is the same order
-    as the existing bf16 output quantization (measured: fwd 2.14 -> 1.74 ms,
-    fwd+bwd 7.54 -> 5.08 ms per ViT-B block at bs 256, tools/attn_bench.py).
+    into the reduction. bf16 (and only bf16) shares f32's exponent range,
+    so the reference's overflow concern doesn't apply to it; the mantissa
+    rounding is the same order as the existing bf16 output quantization
+    (measured: fwd 2.14 -> 1.74 ms, fwd+bwd 7.54 -> 5.08 ms per ViT-B block
+    at bs 256, tools/attn_bench.py). Any other low-precision dtype (e.g.
+    f16, whose exponent range IS the overflow case the reference guards)
+    takes the safe f32 score path.
     Both matrices carry `checkpoint_name` tags so `remat="selective"` can
     recompute exactly them in the backward pass.
     """
@@ -139,7 +142,8 @@ class Attention(nn.Module):
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
         scale = head_dim**-0.5
-        scores_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+        scores_dtype = (jnp.bfloat16 if q.dtype == jnp.bfloat16
+                        else jnp.float32)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=scores_dtype) * scale
         attn = checkpoint_name(attn, "attn_scores")

@@ -16,6 +16,10 @@ HBM per block. Variants measured at the model's exact shape
   flash_pad256    jax.experimental.pallas.ops.tpu.flash_attention, N padded
                   197->256, pad keys masked via segment_ids; never
                   materializes the score matrix in HBM
+  jnn_dpa         jax.nn.dot_product_attention (implementation=None -> the
+                  XLA composed path on TPU; the cudnn kernel is GPU-only) —
+                  measures whether jax's canonical attention entry point
+                  lowers any better than our hand-written einsum pair
 
 Run: `python tools/attn_bench.py` (real TPU; in-jit lax.scan differencing
 harness — axon relay's block_until_ready does not block, CLAUDE.md).
@@ -55,6 +59,13 @@ def flash_attn(q, k, v):
                              segment_ids=fa.SegmentIds(q=seg, kv=seg),
                              sm_scale=SCALE)
     return out[:, :, :N, :]
+
+
+def jnn_dpa(q, k, v):
+    # jax.nn.dot_product_attention wants BTNH (batch, seq, heads, head_dim)
+    qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    out = jax.nn.dot_product_attention(qt, kt, vt, scale=SCALE)
+    return jnp.swapaxes(out, 1, 2)
 
 
 def measure(name, fn, args, small=2, large=12, repeats=2, fwd_bwd=False):
@@ -116,6 +127,11 @@ def main():
     err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) -
                                 bf.astype(jnp.float32))))
     print(f"bf16-scores vs f32-scores max|diff| = {err:.2e}", file=sys.stderr)
+    dpa = jax.jit(jnn_dpa)(q, k, v)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) -
+                                dpa.astype(jnp.float32))))
+    print(f"jnn_dpa vs f32-scores max|diff| = {err:.2e}", file=sys.stderr)
+    assert err < 2e-2, err
 
     for fwd_bwd in (False, True):
         measure("xla_f32scores", xla_attn, (q, k, v), fwd_bwd=fwd_bwd)
@@ -123,6 +139,7 @@ def main():
                 partial(xla_attn, scores_dtype=jnp.bfloat16), (q, k, v),
                 fwd_bwd=fwd_bwd)
         measure("flash_pad256", flash_attn, (q, k, v), fwd_bwd=fwd_bwd)
+        measure("jnn_dpa", jnn_dpa, (q, k, v), fwd_bwd=fwd_bwd)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,13 @@ ResNet path was (BENCH_RESULTS.md), with each lever measured:
   sham        SHAM mined-stage step with ViT-B backbone, remat sweep
   siameseim   SiameseIM step
   face        ViT-face embed (112 px serving path)
+  simclr50    ResNet-50 SimCLR step + compiled FLOPs (cross-checks the
+              bench.py SIMCLR_STEP_FLOPS constant)
+  sham50      ResNet-50 SHAM mined step + compiled FLOPs
+
+Train sections pass flops=True so each line carries XLA's compiled-HLO
+FLOP count -> an honest MFU per recipe step (remat'd graphs count their
+recomputation FLOPs — that IS the executed work).
 
 Run: `python -m tools.vit_bench [section ...]` (default: embed mae dinov2).
 Timing: bench.py methodology — in-jit lax.scan with a data dependency,
@@ -74,15 +81,23 @@ def bench_embed(recipe, images, batch, label="", flops=False):
 
     state = recipe.create_state(jax.random.key(0), images[:8])
 
-    def one_embed(state, imgs):
-        return recipe.extract_features(state, knn_transform(imgs))
+    def features(state, x):
+        # module-level extract_features on an already-transformed batch —
+        # the recipe-level wrapper re-applies knn_transform, which would
+        # both double-normalize and re-run the transform inside every
+        # timed iteration (advisor r3)
+        variables = {"params": state.params}
+        if getattr(state, "batch_stats", None):
+            variables["batch_stats"] = state.batch_stats
+        return recipe.module.apply(variables, x, train=False,
+                                   method=recipe.module.extract_features)
 
     @partial(jax.jit, static_argnames="iters")
     def loop(state, imgs, iters):
         x0 = knn_transform(imgs)
 
         def body(carry, _):
-            feats = recipe.extract_features(state, x0 + carry * 0.0)
+            feats = features(state, x0 + carry * 0.0)
             return jnp.sum(feats.astype(jnp.float32)), ()
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
@@ -95,7 +110,8 @@ def bench_embed(recipe, images, batch, label="", flops=False):
     ips = batch / per
     line = f"{label}: {ips:.1f} img/s/chip"
     if flops:
-        f = compiled_flops(one_embed, state, images)
+        x0 = jax.jit(knn_transform)(images)
+        f = compiled_flops(features, state, x0)
         if f == f:  # not NaN
             tf = f / per / 1e12
             line += (f"  [{f/batch/1e9:.1f} GFLOP/img compiled; {tf:.1f} TF/s"
@@ -207,12 +223,15 @@ def section_decomp(images):
         "proj matmul (B*N,768)@(768,768)",
         lambda x: jnp.einsum("bnd,de->bne", x, w_fc2[:D, :]), (x_tok,),
         per_fwd=12)
+    from hairci.models.vit import gelu as model_gelu
+
     total += _measure_component(
         "mlp fc1+gelu+fc2",
+        # model_gelu ties the GELU form to dtype (tanh approx in bf16) —
+        # the shipped op mix, not the exact-erf form (advisor r3)
         lambda x: jnp.einsum(
             "bnh,hd->bnd",
-            jax.nn.gelu(jnp.einsum("bnd,dh->bnh", x, w_fc1),
-                        approximate=False), w_fc2),
+            model_gelu(jnp.einsum("bnd,dh->bnh", x, w_fc1)), w_fc2),
         (x_tok,), per_fwd=12)
     ln = fnn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
     ln_p = ln.init(jax.random.key(0), x_tok)
@@ -268,7 +287,8 @@ def main(argv):
                     dtype=jnp.bfloat16,
                     remat=True if remat == "full-remat" else "selective")
                 bench_train(dino, images, BATCH,
-                            label=f"DINOv2 step [{remat}]")
+                            label=f"DINOv2 step [{remat}]",
+                            flops=remat == "full-remat")
             except Exception as e:
                 print(f"DINOv2 step [{remat}]: FAILED "
                       f"({type(e).__name__}: {str(e)[:200]})")
@@ -282,6 +302,7 @@ def main(argv):
                     remat=True if remat == "full-remat" else "selective")
                 bench_train(sham, images, BATCH,
                             label=f"SHAM mined step ViT-B [{remat}]",
+                            flops=remat == "full-remat",
                             stage="mined", batch_id=0)
             except Exception as e:
                 print(f"SHAM mined step ViT-B [{remat}]: FAILED "
@@ -290,7 +311,22 @@ def main(argv):
     if "siameseim" in sections:
         sim = build_recipe("siameseim", backbone="vit_base_patch16",
                            img_size=224, dtype=jnp.bfloat16)
-        bench_train(sim, images, BATCH, label="SiameseIM step")
+        bench_train(sim, images, BATCH, label="SiameseIM step", flops=True)
+
+    if "simclr50" in sections:
+        # ResNet-50 SimCLR step with a compiled-FLOP count — cross-checks
+        # bench.py's SIMCLR_STEP_FLOPS constant (6.3e12 from the r1 HLO
+        # conv inventory) against XLA's own accounting
+        r50 = build_recipe("simclr", backbone="resnet50", img_size=224,
+                           dtype=jnp.bfloat16)
+        bench_train(r50, images, BATCH, label="SimCLR RN50 step",
+                    flops=True)
+
+    if "sham50" in sections:
+        sham50 = build_recipe("SHAM", backbone="resnet50", img_size=224,
+                              dtype=jnp.bfloat16, num_batches=1)
+        bench_train(sham50, images, BATCH, label="SHAM mined step RN50",
+                    flops=True, stage="mined", batch_id=0)
 
     if "face" in sections:
         from hairci.retrieval.encoders import FaceEncoder

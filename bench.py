@@ -62,20 +62,39 @@ def _t(run, it):
     return time.perf_counter() - t0
 
 
-def bench_embed(recipe, images) -> float:
+def _compiled_flops_per_img(fn, *args):
+    """FLOPs/img of the exact compiled graph via XLA cost_analysis (the
+    relay backend may hide it -> None). Counts use XLA's 2-flops-per-MAC
+    convention — the right numerator for MFU against peak/sustain numbers
+    quoted in the same convention (tools/resnet_bench.py)."""
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan"))) / BATCH
+        return flops if flops == flops and flops > 0 else None
+    except Exception as e:
+        print(f"  cost_analysis unavailable ({e})", file=sys.stderr)
+        return None
+
+
+def bench_embed(recipe, images):
+    """ResNet-50 embed headline. Returns (img/s, FLOPs/img or None)."""
     from hairci.aug.pipelines import knn_transform
 
     state = recipe.create_state(jax.random.key(0), images[:8])
+
+    def features(params, batch_stats, x):
+        return recipe.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=False, method=recipe.module.extract_features)
 
     @partial(jax.jit, static_argnames="iters")
     def loop(params, batch_stats, imgs, iters):
         x0 = knn_transform(imgs)
 
         def body(carry, _):
-            x = x0 + carry * 0.0
-            feats = recipe.module.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x, train=False, method=recipe.module.extract_features)
+            feats = features(params, batch_stats, x0 + carry * 0.0)
             return jnp.sum(feats), ()
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
@@ -85,7 +104,9 @@ def bench_embed(recipe, images) -> float:
         return float(loop(state.params, state.batch_stats, images, it))
 
     per_iter = _timed(run, 2, 12)
-    return BATCH / per_iter
+    flops = _compiled_flops_per_img(features, state.params, state.batch_stats,
+                                    knn_transform(images))
+    return BATCH / per_iter, flops
 
 
 def bench_train(recipe, images) -> float:
@@ -178,20 +199,60 @@ def bench_embed_vit(images):
 
     ips = BATCH / _timed(run, 2, 12)
 
-    flops_per_img = VIT_EMBED_FLOPS_PER_IMG_FALLBACK
-    try:  # runtime count of the exact compiled forward (relay may hide it)
-        x0 = knn_transform(images)
-        cost = jax.jit(features).lower(state.params, x0).compile(
-        ).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        measured = float(cost.get("flops", float("nan"))) / BATCH
-        if measured == measured and measured > 0:
-            flops_per_img = measured
-    except Exception as e:
-        print(f"  cost_analysis unavailable ({e}); using fallback "
-              f"{flops_per_img/1e9:.1f} GFLOP/img", file=sys.stderr)
-    return ips, flops_per_img
+    # runtime count of the exact compiled forward (relay may hide it)
+    measured = _compiled_flops_per_img(features, state.params,
+                                       knn_transform(images))
+    if measured is None:
+        print(f"  using fallback {VIT_EMBED_FLOPS_PER_IMG_FALLBACK/1e9:.1f} "
+              "GFLOP/img", file=sys.stderr)
+    return ips, measured or VIT_EMBED_FLOPS_PER_IMG_FALLBACK
+
+
+def bench_knn_100k(n: int = 103_945, q: int = 6_088, d: int = 2048,
+                   k: int = 5, num_classes: int = 61,
+                   chunk: int = 4096) -> float:
+    """kNN eval compute at the reference's real scale (VERDICT r2 #4):
+    one full query-set prediction pass over a 103,945 x 2048 gallery with
+    6,088 queries at k=5 — the exact shape of the reference's north-star
+    eval (`classification_engine.py:71-98`, data_train.csv x
+    data_test_combination3.csv). Uses the shipped predict chunk (f32-exact
+    Precision.HIGHEST sims). Gallery/queries are synthesized ON DEVICE:
+    shipping 851 MB through the relay (~25-35 MB/s) would dominate."""
+    from hairci.eval.knn import _knn_predict_chunk
+
+    q_pad = (q + chunk - 1) // chunk * chunk
+
+    @jax.jit
+    def make():
+        kg, kq, kl = jax.random.split(jax.random.key(0), 3)
+        g = jax.random.normal(kg, (n, d), jnp.float32)
+        g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+        qf = jax.random.normal(kq, (q_pad // chunk, chunk, d), jnp.float32)
+        qf = qf / jnp.linalg.norm(qf, axis=2, keepdims=True)
+        y = jax.random.randint(kl, (n,), 0, num_classes, dtype=jnp.int32)
+        return g, qf, y
+
+    g, qc, y = make()
+
+    @partial(jax.jit, static_argnames="iters")
+    def loop(qc, g, y, iters):
+        def body(carry, _):
+            def inner(acc, qrows):
+                p = _knn_predict_chunk(
+                    qrows + carry.astype(qrows.dtype) * 0, g, y, k,
+                    num_classes)
+                return acc + jnp.sum(p), None
+
+            acc, _ = jax.lax.scan(inner, jnp.int32(0), qc)
+            return jnp.float32(acc), ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    def run(it):
+        return float(loop(qc, g, y, it))
+
+    return _timed(run, 2, 8)
 
 
 def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
@@ -251,12 +312,23 @@ def main() -> None:
         "simclr", backbone="resnet50", img_size=224, dtype=jnp.bfloat16)
 
     print("[embed]", file=sys.stderr)
-    embed_ips = bench_embed(recipe, images) / n_chips
+    embed_ips, rn_flops = bench_embed(recipe, images)
+    embed_ips /= n_chips
     print(f"embed: {embed_ips:.1f} img/s/chip "
           f"({embed_ips/BASELINE_EMBED_IPS:.2f}x est. reference)",
           file=sys.stderr)
 
     extra = {}
+    if rn_flops is not None:
+        extra.update({
+            "resnet_embed_gflops_per_img": round(rn_flops / 1e9, 2),
+            "resnet_embed_mfu_vs_v5e_peak": round(
+                embed_ips * rn_flops / V5E_PEAK_FLOPS, 3),
+            "resnet_embed_mfu_vs_observed_sustain": round(
+                embed_ips * rn_flops / OBSERVED_SUSTAIN_FLOPS, 3),
+        })
+        for key, val in extra.items():
+            print(f"  {key} = {val}", file=sys.stderr)
     # Ordered by headline priority: query_p50 is a BASELINE.json headline and
     # cheap (150s worst-case), so it runs BEFORE the 400s SHAM section —
     # round 1 skipped it on budget by running it last.
@@ -289,6 +361,11 @@ def main() -> None:
         ("SHAM train step, mined stage", 400, lambda: {
             "sham_train_images_per_sec_per_chip":
                 round(bench_train_sham(images) / n_chips, 1)}),
+        ("kNN eval, reference scale 103,945x2048 / 6,088 queries, k=5", 200,
+         lambda: (lambda s: {
+             "knn_eval_ms_100k_k5": round(s * 1e3, 1),
+             "knn_eval_ms_per_query_k5": round(s * 1e3 / 6_088, 4),
+         })(bench_knn_100k())),
     ]
     for label, cost, runner in sections:
         if remaining() < cost:

@@ -210,15 +210,17 @@ def bench_embed_vit(images):
 
 def bench_knn_100k(n: int = 103_945, q: int = 6_088, d: int = 2048,
                    k: int = 5, num_classes: int = 61,
-                   chunk: int = 4096) -> float:
+                   chunk: int = 4096, ks=None) -> float:
     """kNN eval compute at the reference's real scale (VERDICT r2 #4):
     one full query-set prediction pass over a 103,945 x 2048 gallery with
-    6,088 queries at k=5 — the exact shape of the reference's north-star
-    eval (`classification_engine.py:71-98`, data_train.csv x
+    6,088 queries — the exact shape of the reference's north-star eval
+    (`classification_engine.py:71-98`, data_train.csv x
     data_test_combination3.csv). Uses the shipped predict chunk (f32-exact
-    Precision.HIGHEST sims). Gallery/queries are synthesized ON DEVICE:
-    shipping 851 MB through the relay (~25-35 MB/s) would dominate."""
-    from hairci.eval.knn import _knn_predict_chunk
+    Precision.HIGHEST sims); with ``ks`` a tuple, the shipped multi-k
+    kernel (ALL reference ks over one shared sims + top_k pass — what
+    knn_eval runs). Gallery/queries are synthesized ON DEVICE: shipping
+    851 MB through the relay (~25-35 MB/s) would dominate."""
+    from hairci.eval.knn import _knn_predict_chunk, _knn_predict_multi_chunk
 
     q_pad = (q + chunk - 1) // chunk * chunk
 
@@ -238,9 +240,12 @@ def bench_knn_100k(n: int = 103_945, q: int = 6_088, d: int = 2048,
     def loop(qc, g, y, iters):
         def body(carry, _):
             def inner(acc, qrows):
-                p = _knn_predict_chunk(
-                    qrows + carry.astype(qrows.dtype) * 0, g, y, k,
-                    num_classes)
+                qrows = qrows + carry.astype(qrows.dtype) * 0
+                if ks is not None:
+                    ps = _knn_predict_multi_chunk(qrows, g, y, tuple(ks),
+                                                  num_classes)
+                    return acc + sum(jnp.sum(p) for p in ps), None
+                p = _knn_predict_chunk(qrows, g, y, k, num_classes)
                 return acc + jnp.sum(p), None
 
             acc, _ = jax.lax.scan(inner, jnp.int32(0), qc)
@@ -366,6 +371,9 @@ def main() -> None:
              "knn_eval_ms_100k_k5": round(s * 1e3, 1),
              "knn_eval_ms_per_query_k5": round(s * 1e3 / 6_088, 4),
          })(bench_knn_100k())),
+        ("kNN eval, all 7 reference ks (5..642) in one shared pass", 250,
+         lambda: {"knn_eval_ms_100k_all7ks": round(
+             bench_knn_100k(ks=(5, 10, 20, 27, 30, 40, 642)) * 1e3, 1)}),
     ]
     for label, cost, runner in sections:
         if remaining() < cost:

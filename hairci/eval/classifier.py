@@ -14,7 +14,7 @@ from typing import Iterable, Optional, Sequence, Tuple
 import numpy as np
 
 from hairci.eval.features import extract_features
-from hairci.eval.knn import DEFAULT_KS, knn_predict
+from hairci.eval.knn import DEFAULT_KS, knn_predict_multi
 from hairci.eval.linear_probe import linear_probe_fit_predict
 from hairci.eval.umap_export import save_umap
 from hairci.eval.variance import compute_intra_inter_variance, format_variance_report
@@ -61,9 +61,12 @@ class Classifier:
         with open(path, "w") as f:
             f.write("KNN Evaluation Results\n")
             f.write("=" * 50 + "\n\n")
+        # all ks share one sims + top_k(max k) device pass per query chunk
+        # (bitwise-identical to per-k knn_predict — pinned in tests/test_knn)
+        all_preds = knn_predict_multi(tr_f, tr_l, te_f, ks, num_classes)
         results = {}
         for k in ks:
-            preds = knn_predict(tr_f, tr_l, te_f, k, num_classes)
+            preds = all_preds[k]
             acc, report, cm = _report(te_l, preds)
             results[k] = acc
             with open(path, "a") as f:

@@ -309,6 +309,10 @@ class VisionTransformer(nn.Module):
     #   True/"full"  jax.checkpoint every block: recompute the whole
     #                forward (~1/3 extra FLOPs) — the r1/r2 setting that
     #                made DINOv2 at bs 256 fit a 16 GB chip
+    #   "half"       jax.checkpoint every OTHER block (~1/6 extra FLOPs);
+    #                middle ground when memory allows 6 blocks' saved
+    #                intermediates — uses plain block remat only, so it
+    #                avoids "selective"'s relay-compiler crash
     # Param layout is unchanged by any setting.
     remat: Any = False
 
@@ -367,12 +371,18 @@ class VisionTransformer(nn.Module):
                 policy=jax.checkpoint_policies.save_anything_except_these_names(
                     "attn_scores", "attn_probs"),
             )
-        elif self.remat:  # True / "full"
+        elif self.remat:  # True / "full" / "half"
             block_cls = nn.remat(Block)
         else:
             block_cls = Block
         for i in range(self.depth):
-            tokens = block_cls(
+            # "half": plain full-block remat (the mode the relay compiler
+            # handles, unlike the policy-based "selective") on every OTHER
+            # block — ~1/6 extra FLOPs instead of full remat's ~1/3, at the
+            # memory cost of 6 blocks' saved intermediates.
+            cls_i = (Block if (self.remat == "half" and i % 2 == 1)
+                     else block_cls)
+            tokens = cls_i(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
                 init_values=self.init_values, name=f"block{i}",
             )(tokens)

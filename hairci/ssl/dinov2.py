@@ -41,8 +41,9 @@ class DINOv2Module(nn.Module):
     ibot_separate_head: bool = False
     dtype: Any = jnp.float32
     # 10 views/step: full block remat keeps bs-256 single-chip in HBM;
-    # "selective" (recompute only attention matrices) is ~faster where the
-    # per-chip batch is small (multi-chip DP) — see models/vit.py remat
+    # "selective" (recompute only attention matrices) and "half" (remat
+    # every other block) are faster where the per-chip batch is small
+    # (multi-chip DP) — see models/vit.py remat
     remat: Any = True
 
     def setup(self):

@@ -78,8 +78,10 @@ class SHAMModule(nn.Module):
     # alone are 3B·H·N² per block (~21 GB f32 for ViT-B at bs 256) — OOM
     # on a 16 GB chip, hence full remat by default. "selective" recomputes
     # only the attention matrices — the faster setting when the per-chip
-    # batch is small (multi-chip DP). ResNets ignore this (conv residuals
-    # are the activations themselves).
+    # batch is small (multi-chip DP); "half" remats every other block
+    # (~1/6 extra FLOPs vs full's ~1/3) where 6 blocks' saved activations
+    # fit. ResNets ignore this (conv residuals are the activations
+    # themselves).
     remat: Any = True
 
     def setup(self):

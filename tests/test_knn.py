@@ -57,3 +57,32 @@ def test_l2_normalize_zero_safe():
     x = jnp.zeros((2, 4))
     out = np.asarray(l2_normalize(x))
     assert np.isfinite(out).all()
+
+
+def test_knn_multi_matches_per_k(rng):
+    """The shared sims+top_k(kmax) prefix-vote path must be bitwise-identical
+    to the per-k kernel for every k (incl. duplicate-row ties and ks that
+    clip to the gallery size)."""
+    from hairci.eval import knn_predict_multi
+
+    train, ytr, test, yte = _data(rng, n_train=120, n_test=64)
+    # inject exact duplicate gallery rows with different labels: real
+    # similarity ties, so index-stable tie-breaking is exercised
+    train[10] = train[50] = train[90]
+    ytr[10], ytr[50], ytr[90] = 0, 3, 6
+    ks = (1, 5, 20, 27, 642)  # 642 clips to n_train=120
+    multi = knn_predict_multi(train, ytr, test, ks, num_classes=7)
+    assert set(multi) == set(ks)
+    for k in ks:
+        single = knn_predict(train, ytr, test, k, num_classes=7)
+        np.testing.assert_array_equal(multi[k], single, err_msg=f"k={k}")
+
+
+def test_knn_multi_chunked_consistent(rng):
+    from hairci.eval import knn_predict_multi
+
+    train, ytr, test, yte = _data(rng, n_train=90, n_test=33)
+    a = knn_predict_multi(train, ytr, test, (5, 10), num_classes=7, chunk=8)
+    b = knn_predict_multi(train, ytr, test, (5, 10), num_classes=7, chunk=4096)
+    for k in (5, 10):
+        np.testing.assert_array_equal(a[k], b[k])

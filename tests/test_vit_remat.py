@@ -1,10 +1,10 @@
 """Rematerialization must be semantically invisible.
 
-`VisionTransformer.remat` trades memory for recompute three ways (False /
-"selective" / True, models/vit.py); none may change the function computed.
-These tests pin forward outputs and parameter gradients across all three
-modes, in f32 (exact graphs) and bf16 (the scores-in-bf16 training config),
-on a tiny ViT so the CPU suite stays fast.
+`VisionTransformer.remat` trades memory for recompute four ways (False /
+"selective" / True / "half", models/vit.py); none may change the function
+computed. These tests pin forward outputs and parameter gradients across
+all modes, in f32 (exact graphs) and bf16 (the scores-in-bf16 training
+config), on a tiny ViT so the CPU suite stays fast.
 """
 
 import jax
@@ -14,7 +14,7 @@ import pytest
 
 from hairci.models.vit import VisionTransformer
 
-MODES = [False, "selective", True]
+MODES = [False, "selective", True, "half"]
 
 
 def _tiny(remat, dtype):

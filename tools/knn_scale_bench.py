@@ -54,7 +54,8 @@ def run_tpu(args):
     import jax
     import jax.numpy as jnp
 
-    from hairci.eval.knn import knn_eval, _knn_predict_chunk
+    from hairci.eval.knn import (knn_eval, _knn_predict_chunk,
+                                 _knn_predict_multi_chunk)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     gal, gal_y = make_features(args.n, args.d, NUM_CLASSES, 0)
@@ -120,11 +121,95 @@ def run_tpu(args):
               f"({per*1e3/args.q:.3f} ms/query, sims matmul "
               f"{flops/per/1e12:.1f} TF/s)")
 
+    # 3) the multi-k kernel: ALL 7 reference ks over one shared sims +
+    # top_k(642) pass per chunk (what knn_eval now runs) — vs the per-k
+    # protocol's sum of 7 separate passes measured above.
+    @partial(jax.jit, static_argnames="iters")
+    def loop_multi(qc, g, gy, iters):
+        def body(carry, _):
+            def inner(acc, q):
+                ps = _knn_predict_multi_chunk(
+                    q + carry.astype(q.dtype) * 0, g, gy, KS, NUM_CLASSES)
+                return acc + sum(jnp.sum(p) for p in ps), None
+            acc, _ = jax.lax.scan(inner, jnp.int32(0), qc)
+            return jnp.float32(acc), ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    def run_multi(it):
+        return float(loop_multi(qry_c, gal_j, gal_yj, iters=it))
+
+    for it in (2, 8):
+        t0 = time.perf_counter()
+        run_multi(it)
+        print(f"  [multi-k {KS}] compile+run iters={it}: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    ts = min(_t(run_multi, 2) for _ in range(2))
+    tl = min(_t(run_multi, 8) for _ in range(2))
+    per = (tl - ts) / 6
+    print(f"query-set compute, ALL ks {KS} shared pass: {per*1e3:.1f} ms "
+          f"({per*1e3/args.q:.3f} ms/query/all-ks)")
+
 
 def _t(run, it):
     t0 = time.perf_counter()
     run(it)
     return time.perf_counter() - t0
+
+
+def run_topk(args):
+    """Probe: is `lax.top_k` (O(N*k), dominates at k=642) beatable by a
+    full descending sort (O(N log^2 N) bitonic on TPU) or by
+    `lax.approx_max_k` with exact rescoring? Timed on the real sims-matrix
+    shape (chunk=4096 queries x N gallery) with the in-jit differencing
+    harness. Informs `_knn_predict_multi_chunk`'s kmax path."""
+    import jax
+    import jax.numpy as jnp
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    chunk, n, k = 4096, args.n, 642
+
+    @jax.jit
+    def make():
+        s = jax.random.normal(jax.random.key(0), (chunk, n), jnp.float32)
+        return s
+
+    sims = make()
+
+    variants = {
+        "lax.top_k(642)": lambda s: jax.lax.top_k(s, k)[1],
+        "argsort-desc[:642]": lambda s: jnp.argsort(-s, axis=1)[:, :k],
+        "sort_key_val[:642]": lambda s: jax.lax.sort_key_val(
+            -s, jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), s.shape),
+        )[1][:, :k],
+    }
+    for name, fn in variants.items():
+        @partial(jax.jit, static_argnames="iters")
+        def loop(s, iters, fn=fn):
+            def body(carry, _):
+                idx = fn(s + carry * 0)
+                return jnp.float32(jnp.sum(idx)), ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+
+        def run(it):
+            return float(loop(sims, iters=it))
+
+        try:
+            for it in (2, 8):
+                t0 = time.perf_counter()
+                run(it)
+                print(f"  [{name}] compile+run iters={it}: "
+                      f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            ts = min(_t(run, 2) for _ in range(2))
+            tl = min(_t(run, 8) for _ in range(2))
+            per = (tl - ts) / 6
+            print(f"top-{k} over ({chunk}, {n}): {name}: {per*1e3:.1f} ms")
+        except Exception as e:
+            print(f"top-{k} {name}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:160]})")
 
 
 def run_sklearn(args):
@@ -179,7 +264,7 @@ def run_sklearn(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["tpu", "sklearn"])
+    p.add_argument("mode", choices=["tpu", "sklearn", "topk"])
     p.add_argument("--n", type=int, default=N_GALLERY)
     p.add_argument("--q", type=int, default=N_QUERY)
     p.add_argument("--d", type=int, default=DIM)
@@ -189,6 +274,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.mode == "tpu":
         run_tpu(args)
+    elif args.mode == "topk":
+        run_topk(args)
     else:
         run_sklearn(args)
 

@@ -279,13 +279,19 @@ def main(argv):
                     label="MAE pretrain step (mask 0.75, depth-8 decoder)",
                     flops=True)
 
+    REMATS = {"full-remat": True, "half-remat": "half",
+              "selective-remat": "selective"}
+
+    def _remat_list(default=("full-remat", "half-remat", "selective-remat")):
+        picked = [s for s in sections if s in REMATS]
+        return picked or list(default)
+
     if "dinov2" in sections:
-        for remat in ("full-remat", "selective-remat"):
+        for remat in _remat_list():
             try:
                 dino = build_recipe(
                     "dinov2", backbone="vit_base_patch16", img_size=224,
-                    dtype=jnp.bfloat16,
-                    remat=True if remat == "full-remat" else "selective")
+                    dtype=jnp.bfloat16, remat=REMATS[remat])
                 bench_train(dino, images, BATCH,
                             label=f"DINOv2 step [{remat}]",
                             flops=remat == "full-remat")
@@ -294,12 +300,11 @@ def main(argv):
                       f"({type(e).__name__}: {str(e)[:200]})")
 
     if "sham" in sections:
-        for remat in ("full-remat", "selective-remat"):
+        for remat in _remat_list():
             try:
                 sham = build_recipe(
                     "SHAM", backbone="vit_b_16", img_size=224,
-                    dtype=jnp.bfloat16, num_batches=1,
-                    remat=True if remat == "full-remat" else "selective")
+                    dtype=jnp.bfloat16, num_batches=1, remat=REMATS[remat])
                 bench_train(sham, images, BATCH,
                             label=f"SHAM mined step ViT-B [{remat}]",
                             flops=remat == "full-remat",

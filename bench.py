@@ -1,12 +1,37 @@
 """Benchmarks on the real TPU chip. Prints ONE JSON line (headline =
-ResNet-50 embed throughput, the metric named in BASELINE.json); SimCLR
-train-step throughput and retrieval query latency go to stderr.
+ResNet-50 embed throughput, the metric named in BASELINE.json); all other
+sections land in the JSON's "extra" dict, progress goes to stderr.
 
 Methodology (axon relay backend): `block_until_ready()` does not block and
 per-dispatch latency is ~seconds, so every measured loop runs INSIDE one
 jitted `lax.scan` with a data dependency between iterations, and fixed
 dispatch overhead is removed by differencing two iteration counts
 (.claude/skills/verify/SKILL.md).
+
+Budget discipline (VERDICT r4 #1 — round 4 lost 6 of 7 sections to one
+853 s cold compile):
+  * the JAX persistent compilation cache is enabled at import, keyed under
+    ``.jax_cache/`` next to this file. Verified to work through the axon
+    relay (cross-process recompile of the same graph: 1.08 s -> 0.10 s;
+    full-scale numbers in BENCH_RESULTS.md caveats), so a warm cache makes
+    every section's compile O(seconds) and cold-compile variance
+    (80-853 s observed) can no longer eat the budget.
+  * sections carry (cold, warm) worst-case estimates; "warm" is used once
+    the embed section demonstrates a cache hit. A section is skipped when
+    the remaining budget cannot absorb its estimate, never-yet-recorded
+    keys first in priority (the two kNN-eval sections precede the
+    r3-proven train/query/ViT/SHAM sections).
+  * a watchdog thread hard-prints the JSON-so-far and exits 0 shortly
+    after the budget expires, so even a section that blows through its
+    estimate cannot leave the driver with no JSON line.
+
+FLOP accounting: every MFU numerator is computed at runtime from the
+compiled graph via XLA ``cost_analysis`` (2-flops-per-MAC convention,
+matching the peak/sustain denominators). The committed ``*_FALLBACK``
+constants are used only when the relay hides cost_analysis or the budget
+cannot absorb the probe's compile; when the runtime value IS available it
+is cross-checked against the fallback and a >25% drift prints a loud
+stale-constant warning (VERDICT r4 #3 — no silent FLOP snapshots).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 denominator is a documented estimate of the PyTorch reference pipeline's
@@ -17,13 +42,24 @@ North-star target: vs_baseline >= 5.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 from functools import partial
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+# Persistent compilation cache BEFORE any compile (see module docstring).
+_CACHE_DIR = os.environ.get(
+    "HAIRCI_JIT_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_EMBED_IPS = 2200.0
 BASELINE_TRAIN_IPS = 800.0   # A100 torch SimCLR RN50 fwd+bwd estimate
@@ -34,15 +70,14 @@ BATCH = 256
 # (tools/fused_conv_bn_bench.py, r2).
 V5E_PEAK_FLOPS = 197e12
 OBSERVED_SUSTAIN_FLOPS = 122e12
-# SimCLR RN50 bs-256 model FLOPs per step: 2 views x fwd+bwd convs+matmuls,
-# 6.3e12 from the compiled-HLO conv inventory (BENCH_RESULTS.md
-# "BN-reduce investigation").
-SIMCLR_STEP_FLOPS = 6.3e12
-# Fallback ViT-B/16 224px embed FLOPs per image (compiled-HLO snapshot,
-# tools/vit_bench.py embed section) — used only when the relay backend
-# hides cost_analysis; bench_embed_vit recomputes it at runtime so model
-# changes (depth, GELU form, patch size) can't silently skew the MFU.
-VIT_EMBED_FLOPS_PER_IMG_FALLBACK = 35.3e9
+# Fallbacks for when cost_analysis is unavailable (relay hiding it, or no
+# budget left for the probe's compile). Each is the last runtime-measured
+# value; a >25% runtime drift prints a stale-constant warning.
+RESNET_EMBED_FLOPS_PER_IMG_FALLBACK = 7.95e9    # r4 runtime cost_analysis
+VIT_EMBED_FLOPS_PER_IMG_FALLBACK = 35.3e9       # r4 runtime cost_analysis
+SIMCLR_STEP_FLOPS_FALLBACK = 12.69e12  # r5 runtime cost_analysis (bs 256,
+# full step graph incl. backward+Adam; the r3 conv-only inventory was 6.3e12)
+SHAM_STEP_FLOPS_FALLBACK = 12.8e12    # r5 runtime cost_analysis (bs 256)
 
 
 def _timed(run, small, large, repeats: int = 2):
@@ -62,26 +97,48 @@ def _t(run, it):
     return time.perf_counter() - t0
 
 
-def _compiled_flops_per_img(fn, *args):
-    """FLOPs/img of the exact compiled graph via XLA cost_analysis (the
-    relay backend may hide it -> None). Counts use XLA's 2-flops-per-MAC
+def _compiled_flops(fn, *args):
+    """Total FLOPs of fn's compiled graph via XLA cost_analysis (the relay
+    backend may hide it -> None). Counts use XLA's 2-flops-per-MAC
     convention — the right numerator for MFU against peak/sustain numbers
-    quoted in the same convention (tools/resnet_bench.py)."""
+    quoted in the same convention (tools/resnet_bench.py). The probe's
+    compile is persistent-cache-backed; callers budget-guard it."""
     try:
         cost = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", float("nan"))) / BATCH
+        flops = float(cost.get("flops", float("nan")))
         return flops if flops == flops and flops > 0 else None
     except Exception as e:
         print(f"  cost_analysis unavailable ({e})", file=sys.stderr)
         return None
 
 
+def _flops_or_fallback(measured, fallback, what):
+    """Runtime-measured FLOPs preferred; committed constant otherwise.
+    A large runtime-vs-constant drift means the constant went stale after
+    a model change — exactly the silent skew VERDICT r4 #3 bans."""
+    if measured is None:
+        if fallback is None:
+            return None
+        print(f"  {what}: cost_analysis unavailable -> fallback "
+              f"{fallback/1e9:.1f} GFLOP", file=sys.stderr)
+        return fallback
+    if fallback is not None and abs(measured / fallback - 1.0) > 0.25:
+        print(f"  WARNING: {what} runtime FLOPs {measured/1e9:.1f}G differ "
+              f">25% from committed fallback {fallback/1e9:.1f}G — update "
+              "the constant in bench.py", file=sys.stderr)
+    return measured
+
+
 def bench_embed(recipe, images):
-    """ResNet-50 embed headline. Returns (img/s, FLOPs/img or None)."""
+    """ResNet-50 embed headline. Returns (img/s, probe_fn, section_secs).
+
+    probe_fn runs the (budget-guarded) cost_analysis pass for FLOPs/img;
+    section_secs lets the caller detect a warm compilation cache."""
     from hairci.aug.pipelines import knn_transform
 
+    t0 = time.perf_counter()
     state = recipe.create_state(jax.random.key(0), images[:8])
 
     def features(params, batch_stats, x):
@@ -104,43 +161,23 @@ def bench_embed(recipe, images):
         return float(loop(state.params, state.batch_stats, images, it))
 
     per_iter = _timed(run, 2, 12)
-    flops = _compiled_flops_per_img(features, state.params, state.batch_stats,
-                                    knn_transform(images))
-    return BATCH / per_iter, flops
+    secs = time.perf_counter() - t0
+
+    def probe():
+        measured = _compiled_flops(features, state.params, state.batch_stats,
+                                   knn_transform(images))
+        return _flops_or_fallback(
+            None if measured is None else measured / BATCH,
+            RESNET_EMBED_FLOPS_PER_IMG_FALLBACK, "resnet embed/img")
+
+    return BATCH / per_iter, probe, secs
 
 
-def bench_train(recipe, images) -> float:
-    state = recipe.create_state(jax.random.key(0), images[:8])
-
-    @partial(jax.jit, static_argnames="iters")
-    def loop(state, imgs, iters):
-        def body(carry, i):
-            st, _ = carry
-            st, metrics = recipe.train_step(
-                st, {"image": imgs}, jax.random.fold_in(jax.random.key(0), i))
-            return (st, metrics["loss"]), ()
-
-        (state, loss), _ = jax.lax.scan(
-            body, (state, jnp.float32(0)), jnp.arange(iters))
-        return loss
-
-    def run(it):
-        return float(loop(state, images, it))
-
-    per_iter = _timed(run, 1, 6)
-    return BATCH / per_iter
-
-
-def bench_train_sham(images) -> float:
-    """Flagship HSimCLR/SHAM step in its steady state (stage="mined"):
-    EMA update + cached-negative gather + fused 3B online forward +
-    momentum forward + NTXent/triplet/MSE + Adam."""
-    from hairci.ssl import build_recipe
-
-    recipe = build_recipe(
-        "SHAM", backbone="resnet50", img_size=224, dtype=jnp.bfloat16,
-        num_batches=1)
-    state = recipe.create_state(jax.random.key(0), images)
+def _train_loop_runner(recipe, images, state, **step_kwargs):
+    """(run, step_fn+args) for a recipe's train step: run(iters) drives the
+    scan-timed loop; the step probe compiles ONE standalone step returning
+    the full new state (so backward + optimizer aren't dead-code-eliminated
+    out of the FLOP count)."""
 
     @partial(jax.jit, static_argnames="iters")
     def loop(state, imgs, iters):
@@ -148,7 +185,7 @@ def bench_train_sham(images) -> float:
             st, _ = carry
             st, metrics = recipe.train_step(
                 st, {"image": imgs}, jax.random.fold_in(jax.random.key(0), i),
-                stage="mined", batch_id=0)
+                **step_kwargs)
             return (st, metrics["loss"]), ()
 
         (state, loss), _ = jax.lax.scan(
@@ -158,8 +195,47 @@ def bench_train_sham(images) -> float:
     def run(it):
         return float(loop(state, images, it))
 
+    def step(st):
+        st2, metrics = recipe.train_step(
+            st, {"image": images}, jax.random.key(1), **step_kwargs)
+        return st2, metrics["loss"]
+
+    return run, step
+
+
+def bench_train(recipe, images):
+    """SimCLR train step. Returns (img/s, probe_fn for step FLOPs)."""
+    state = recipe.create_state(jax.random.key(0), images[:8])
+    run, step = _train_loop_runner(recipe, images, state)
+    per_iter = _timed(run, 1, 6)
+
+    def probe():
+        return _flops_or_fallback(_compiled_flops(step, state),
+                                  SIMCLR_STEP_FLOPS_FALLBACK, "simclr step")
+
+    return BATCH / per_iter, probe
+
+
+def bench_train_sham(images):
+    """Flagship HSimCLR/SHAM step in its steady state (stage="mined"):
+    EMA update + cached-negative gather + fused 3B online forward +
+    momentum forward + NTXent/triplet/MSE + Adam. Returns (img/s,
+    probe_fn for step FLOPs)."""
+    from hairci.ssl import build_recipe
+
+    recipe = build_recipe(
+        "SHAM", backbone="resnet50", img_size=224, dtype=jnp.bfloat16,
+        num_batches=1)
+    state = recipe.create_state(jax.random.key(0), images)
+    run, step = _train_loop_runner(recipe, images, state,
+                                   stage="mined", batch_id=0)
     per_iter = _timed(run, 1, 5)
-    return BATCH / per_iter
+
+    def probe():
+        return _flops_or_fallback(_compiled_flops(step, state),
+                                  SHAM_STEP_FLOPS_FALLBACK, "sham step")
+
+    return BATCH / per_iter, probe
 
 
 def bench_embed_vit(images):
@@ -167,8 +243,8 @@ def bench_embed_vit(images):
     `/root/reference/src/models_vit.py:26-270`): bf16 blocks with bf16
     attention scores + f32-accumulated softmax (models/vit.py).
 
-    Returns (img/s, FLOPs/img). The eval transform is applied once
-    outside the scan and the module's extract_features is applied
+    Returns (img/s, probe_fn for FLOPs/img). The eval transform is applied
+    once outside the scan and the module's extract_features is applied
     directly to the transformed batch (mirroring bench_embed) — the
     recipe-level extract_features would re-run knn_transform inside
     every timed iteration on double-normalized inputs."""
@@ -199,27 +275,62 @@ def bench_embed_vit(images):
 
     ips = BATCH / _timed(run, 2, 12)
 
-    # runtime count of the exact compiled forward (relay may hide it)
-    measured = _compiled_flops_per_img(features, state.params,
-                                       knn_transform(images))
-    if measured is None:
-        print(f"  using fallback {VIT_EMBED_FLOPS_PER_IMG_FALLBACK/1e9:.1f} "
-              "GFLOP/img", file=sys.stderr)
-    return ips, measured or VIT_EMBED_FLOPS_PER_IMG_FALLBACK
+    def probe():
+        measured = _compiled_flops(features, state.params,
+                                   knn_transform(images))
+        return _flops_or_fallback(
+            None if measured is None else measured / BATCH,
+            VIT_EMBED_FLOPS_PER_IMG_FALLBACK, "vit embed/img")
+
+    return ips, probe
+
+
+def check_knn_multi_parity_on_device() -> None:
+    """Assert the multi-k kNN kernel's prefix-voting equivalence on the
+    backend bench actually runs on (ADVICE r4 #2: the pinning tests only
+    ever exercise the forced-CPU conftest mesh; lax.top_k tie stability is
+    a backend property). Small shapes; checks the smallest and largest
+    reference k against the kmax=642 shared pass."""
+    from hairci.eval.knn import _knn_predict_chunk, _knn_predict_multi_chunk
+
+    kg, kq, kl = jax.random.split(jax.random.key(7), 3)
+    n, q, d, classes = 2048, 256, 64, 61
+    g = jax.random.normal(kg, (n, d), jnp.float32)
+    g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+    qf = jax.random.normal(kq, (q, d), jnp.float32)
+    qf = qf / jnp.linalg.norm(qf, axis=1, keepdims=True)
+    y = jax.random.randint(kl, (n,), 0, classes, dtype=jnp.int32)
+    ks = (5, 642)
+    multi = _knn_predict_multi_chunk(qf, g, y, ks, classes)
+    for k, m in zip(ks, multi):
+        single = _knn_predict_chunk(qf, g, y, k, classes)
+        if not bool(jnp.all(single == m)):
+            raise AssertionError(
+                f"multi-k kNN kernel diverges from per-k at k={k} on "
+                f"{jax.default_backend()} — top_k prefix tie-stability "
+                "assumption violated on this backend")
+    print(f"  multi-k == per-k on {jax.default_backend()} "
+          f"(ks={ks}, n={n}, q={q})", file=sys.stderr)
 
 
 def bench_knn_100k(n: int = 103_945, q: int = 6_088, d: int = 2048,
                    k: int = 5, num_classes: int = 61,
-                   chunk: int = 4096, ks=None) -> float:
+                   chunk: int = 4096, ks=None):
     """kNN eval compute at the reference's real scale (VERDICT r2 #4):
-    one full query-set prediction pass over a 103,945 x 2048 gallery with
-    6,088 queries — the exact shape of the reference's north-star eval
+    one query-set prediction pass over a 103,945 x 2048 gallery — the
+    exact shape of the reference's north-star eval
     (`classification_engine.py:71-98`, data_train.csv x
     data_test_combination3.csv). Uses the shipped predict chunk (f32-exact
     Precision.HIGHEST sims); with ``ks`` a tuple, the shipped multi-k
     kernel (ALL reference ks over one shared sims + top_k pass — what
-    knn_eval runs). Gallery/queries are synthesized ON DEVICE: shipping
-    851 MB through the relay (~25-35 MB/s) would dominate."""
+    knn_eval runs).
+
+    The 6,088 queries are padded to q_pad = ceil(q/chunk)*chunk = 8,192
+    rows (two 4,096-row chunks) and the PADDED pass is what's timed, as in
+    production `knn_predict` (ADVICE r4 #1). Returns (padded-pass seconds,
+    q_pad) so callers report per-query figures against the rows actually
+    computed. Gallery/queries are synthesized ON DEVICE: shipping 851 MB
+    through the relay (~25-35 MB/s) would dominate."""
     from hairci.eval.knn import _knn_predict_chunk, _knn_predict_multi_chunk
 
     q_pad = (q + chunk - 1) // chunk * chunk
@@ -257,7 +368,7 @@ def bench_knn_100k(n: int = 103_945, q: int = 6_088, d: int = 2048,
     def run(it):
         return float(loop(qc, g, y, it))
 
-    return _timed(run, 2, 8)
+    return _timed(run, 2, 8), q_pad
 
 
 def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
@@ -294,21 +405,40 @@ def bench_query_latency(n_gallery: int = 100_000, d: int = 512,
 
 
 def main() -> None:
-    import os
-
     from hairci.ssl import build_recipe
 
-    # Relay compile times vary wildly between runs (the same embed graph has
-    # measured 80s and 595s cold); skip non-headline sections once the
-    # elapsed-time budget can no longer absorb a worst-case compile, so the
-    # JSON line always prints within the driver's timeout.
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1700"))
 
     def remaining() -> float:
         return budget - (time.perf_counter() - t_start)
 
+    # Watchdog: if anything blows through its estimate, print the
+    # JSON-so-far and exit 0 before the driver's 1800 s timeout kills the
+    # process with no JSON at all (the r4 failure mode). Normal completion
+    # sets _done first, so exactly one JSON line ever prints.
+    result = {"metric": "resnet50_embed_throughput", "value": 0.0,
+              "unit": "images/sec/chip", "vs_baseline": 0.0, "extra": {}}
+    _done = threading.Event()
+
+    def _emit():
+        print(json.dumps(result), flush=True)
+
+    def _fire():
+        if not _done.is_set():
+            print("[watchdog] budget blown — emitting partial JSON",
+                  file=sys.stderr, flush=True)
+            _emit()
+            os._exit(0)
+
+    watchdog = threading.Timer(budget + 45.0, _fire)
+    watchdog.daemon = True
+    watchdog.start()
+
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"compilation cache: {_CACHE_DIR} "
+          f"({sum(len(f) for _, _, f in os.walk(_CACHE_DIR))} entries)",
+          file=sys.stderr)
     n_chips = max(jax.device_count(), 1)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -317,13 +447,25 @@ def main() -> None:
         "simclr", backbone="resnet50", img_size=224, dtype=jnp.bfloat16)
 
     print("[embed]", file=sys.stderr)
-    embed_ips, rn_flops = bench_embed(recipe, images)
+    embed_ips, embed_probe, embed_secs = bench_embed(recipe, images)
     embed_ips /= n_chips
     print(f"embed: {embed_ips:.1f} img/s/chip "
           f"({embed_ips/BASELINE_EMBED_IPS:.2f}x est. reference)",
           file=sys.stderr)
+    result["value"] = round(embed_ips, 1)
+    result["vs_baseline"] = round(embed_ips / BASELINE_EMBED_IPS, 3)
+    extra = result["extra"]
 
-    extra = {}
+    # Cache-warmth heuristic: the embed section cold (two fresh scan
+    # compiles) has never run under 80 s; warm (persistent-cache hits) it
+    # is O(20 s). Warm estimates below are measured r5 values + margin.
+    warm = embed_secs < 60.0
+    print(f"[embed] section took {embed_secs:.1f}s -> cache "
+          f"{'WARM' if warm else 'COLD'}", file=sys.stderr)
+
+    rn_flops = embed_probe() if remaining() > (60 if warm else 400) else \
+        _flops_or_fallback(None, RESNET_EMBED_FLOPS_PER_IMG_FALLBACK,
+                           "resnet embed/img (probe skipped on budget)")
     if rn_flops is not None:
         extra.update({
             "resnet_embed_gflops_per_img": round(rn_flops / 1e9, 2),
@@ -334,65 +476,107 @@ def main() -> None:
         })
         for key, val in extra.items():
             print(f"  {key} = {val}", file=sys.stderr)
-    # Ordered by headline priority: query_p50 is a BASELINE.json headline and
-    # cheap (150s worst-case), so it runs BEFORE the 400s SHAM section —
-    # round 1 skipped it on budget by running it last.
-    sections = [  # (label, est. worst-case cost s, key(s) -> runner)
-        ("simclr train step", 400, lambda: (
-            lambda ips: {
-                "simclr_train_images_per_sec_per_chip": ips,
-                "simclr_train_vs_baseline": round(ips / BASELINE_TRAIN_IPS, 3),
-                "simclr_train_mfu_vs_v5e_peak": round(
-                    ips / BATCH * SIMCLR_STEP_FLOPS / V5E_PEAK_FLOPS, 3),
-                "simclr_train_mfu_vs_observed_sustain": round(
-                    ips / BATCH * SIMCLR_STEP_FLOPS / OBSERVED_SUSTAIN_FLOPS,
-                    3),
-            })(round(bench_train(recipe, images) / n_chips, 1))),
-        ("retrieval query latency, 100k x 512 gallery", 150, lambda: {
-            "query_p50_ms_100k_gallery":
-                round(bench_query_latency() * 1e3, 2)}),
-        ("ViT-B/16 embed", 250, lambda: (
-            lambda ips_flops: {
-                "vit_embed_images_per_sec_per_chip":
-                    round(ips_flops[0] / n_chips, 1),
-                "vit_embed_gflops_per_img": round(ips_flops[1] / 1e9, 1),
+
+    def _mfu_keys(prefix, ips, step_flops, per_img=False):
+        if step_flops is None:
+            return {}
+        per_step = step_flops if not per_img else step_flops * BATCH
+        return {
+            f"{prefix}_gflops_per_step": round(per_step / 1e9, 1),
+            f"{prefix}_mfu_vs_v5e_peak": round(
+                ips / BATCH * per_step / V5E_PEAK_FLOPS, 3),
+            f"{prefix}_mfu_vs_observed_sustain": round(
+                ips / BATCH * per_step / OBSERVED_SUSTAIN_FLOPS, 3),
+        }
+
+    def run_simclr_train():
+        ips, probe = bench_train(recipe, images)
+        ips = round(ips / n_chips, 1)
+        flops = probe() if remaining() > (40 if warm else 300) else \
+            _flops_or_fallback(None, SIMCLR_STEP_FLOPS_FALLBACK,
+                               "simclr step (probe skipped on budget)")
+        return {
+            "simclr_train_images_per_sec_per_chip": ips,
+            "simclr_train_vs_baseline": round(ips / BASELINE_TRAIN_IPS, 3),
+            **_mfu_keys("simclr_train", ips, flops),
+        }
+
+    def run_sham_train():
+        ips, probe = bench_train_sham(images)
+        ips = round(ips / n_chips, 1)
+        flops = probe() if remaining() > (40 if warm else 300) else \
+            _flops_or_fallback(None, SHAM_STEP_FLOPS_FALLBACK,
+                               "sham step (probe skipped on budget)")
+        return {
+            "sham_train_images_per_sec_per_chip": ips,
+            **_mfu_keys("sham_train", ips, flops),
+        }
+
+    def run_vit_embed():
+        ips, probe = bench_embed_vit(images)
+        ips_chip = round(ips / n_chips, 1)
+        flops = probe() if remaining() > (40 if warm else 250) else \
+            _flops_or_fallback(None, VIT_EMBED_FLOPS_PER_IMG_FALLBACK,
+                               "vit embed/img (probe skipped on budget)")
+        got = {"vit_embed_images_per_sec_per_chip": ips_chip}
+        if flops is not None:
+            got.update({
+                "vit_embed_gflops_per_img": round(flops / 1e9, 1),
                 "vit_embed_mfu_vs_v5e_peak": round(
-                    ips_flops[0] / n_chips * ips_flops[1] / V5E_PEAK_FLOPS,
-                    3),
+                    ips_chip * flops / V5E_PEAK_FLOPS, 3),
                 "vit_embed_mfu_vs_observed_sustain": round(
-                    ips_flops[0] / n_chips * ips_flops[1]
-                    / OBSERVED_SUSTAIN_FLOPS, 3),
-            })(bench_embed_vit(images))),
-        ("SHAM train step, mined stage", 400, lambda: {
-            "sham_train_images_per_sec_per_chip":
-                round(bench_train_sham(images) / n_chips, 1)}),
-        ("kNN eval, reference scale 103,945x2048 / 6,088 queries, k=5", 200,
-         lambda: (lambda s: {
-             "knn_eval_ms_100k_k5": round(s * 1e3, 1),
-             "knn_eval_ms_per_query_k5": round(s * 1e3 / 6_088, 4),
-         })(bench_knn_100k())),
-        ("kNN eval, all 7 reference ks (5..642) in one shared pass", 250,
-         lambda: {"knn_eval_ms_100k_all7ks": round(
-             bench_knn_100k(ks=(5, 10, 20, 27, 30, 40, 642)) * 1e3, 1)}),
+                    ips_chip * flops / OBSERVED_SUSTAIN_FLOPS, 3),
+            })
+        return got
+
+    def run_knn_k5():
+        s, q_pad = bench_knn_100k()
+        return {
+            # padded-pass time: 8,192 query rows actually computed for the
+            # 6,088-query protocol (see bench_knn_100k docstring)
+            "knn_eval_ms_100k_k5": round(s * 1e3, 1),
+            "knn_eval_ms_per_query_k5": round(s * 1e3 / q_pad, 4),
+            "knn_eval_padded_queries": q_pad,
+        }
+
+    def run_knn_all7ks():
+        check_knn_multi_parity_on_device()
+        s, q_pad = bench_knn_100k(ks=(5, 10, 20, 27, 30, 40, 642))
+        return {"knn_eval_ms_100k_all7ks": round(s * 1e3, 1)}
+
+    # Priority order (VERDICT r4 #1d): keys that have never landed in any
+    # driver BENCH_r*.json (the two reference-scale kNN sections) outrank
+    # sections already recorded in r2/r3 artifacts.
+    sections = [  # (label, cold-estimate s, warm-estimate s, runner)
+        ("kNN eval, reference scale 103,945x2048 / 6,088 queries, k=5",
+         200, 45, run_knn_k5),
+        ("kNN eval, all 7 reference ks (5..642) in one shared pass",
+         300, 75, run_knn_all7ks),
+        ("retrieval query latency, 100k x 512 gallery", 150, 60,
+         lambda: {"query_p50_ms_100k_gallery":
+                  round(bench_query_latency() * 1e3, 2)}),
+        ("simclr train step", 450, 90, run_simclr_train),
+        ("ViT-B/16 embed", 300, 60, run_vit_embed),
+        ("SHAM train step, mined stage", 450, 110, run_sham_train),
     ]
-    for label, cost, runner in sections:
+    for label, cold, warm_cost, runner in sections:
+        cost = warm_cost if warm else cold
         if remaining() < cost:
             print(f"[{label}] SKIPPED ({remaining():.0f}s left < {cost}s "
                   "worst-case)", file=sys.stderr)
             continue
         print(f"[{label}]", file=sys.stderr)
+        t_sec = time.perf_counter()
         got = runner()
+        print(f"  section took {time.perf_counter()-t_sec:.1f}s",
+              file=sys.stderr)
         for key, val in got.items():
             print(f"  {key} = {val}", file=sys.stderr)
         extra.update(got)
 
-    print(json.dumps({
-        "metric": "resnet50_embed_throughput",
-        "value": round(embed_ips, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(embed_ips / BASELINE_EMBED_IPS, 3),
-        "extra": extra,
-    }))
+    _done.set()
+    watchdog.cancel()
+    _emit()
 
 
 if __name__ == "__main__":

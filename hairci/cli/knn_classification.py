@@ -150,9 +150,10 @@ def load_state(recipe, args, sample):
 
 
 def main(argv=None) -> None:
-    from hairci.utils import apply_platform_env
+    from hairci.utils import apply_platform_env, enable_compilation_cache
 
     apply_platform_env()
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     parser = build_eval_parser()
     args = parser.parse_args(argv)

@@ -80,9 +80,10 @@ def _visualize(index, encoder, args) -> None:
 
 
 def run(kind: str, argv=None) -> None:
-    from hairci.utils import apply_platform_env
+    from hairci.utils import apply_platform_env, enable_compilation_cache
 
     apply_platform_env()
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     args = build_retrieval_parser(kind).parse_args(argv)
 

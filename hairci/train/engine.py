@@ -72,6 +72,9 @@ class Trainer:
         mesh=None,
         checkpoint_every: int = 50,
     ):
+        from hairci.utils import enable_compilation_cache
+
+        enable_compilation_cache()  # 80-853s relay cold compiles -> once
         self.recipe = recipe
         self.train_loader = train_loader
         self.args = args

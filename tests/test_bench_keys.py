@@ -1,0 +1,58 @@
+"""Wire tools/check_bench_keys.py into the suite (VERDICT r4 #6): a driver
+BENCH_r{N}.json (N >= 5) missing headline keys must fail `pytest` at the
+next round's open instead of being discovered by the judge."""
+
+import json
+import os
+
+from tools.check_bench_keys import (
+    GRANDFATHERED_THROUGH,
+    bench_artifacts,
+    check_payload,
+    main,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_checker_flags_r4_regression():
+    """BENCH_r04.json is the motivating regression: 6 of 7 sections lost to
+    one 853 s cold compile. The checker must flag it (proves detection),
+    even though r<=4 artifacts are grandfathered from the gating check."""
+    with open(os.path.join(ROOT, "BENCH_r04.json")) as fh:
+        problems = check_payload(json.load(fh))
+    missing = {p.split(": ")[1] for p in problems if "extra key" in p}
+    assert "knn_eval_ms_100k_k5" in missing
+    assert "simclr_train_images_per_sec_per_chip" in missing
+
+
+def test_checker_accepts_complete_payload():
+    payload = {"metric": "resnet50_embed_throughput", "value": 13110.9,
+               "unit": "images/sec/chip", "vs_baseline": 5.96,
+               "extra": {
+                   "simclr_train_images_per_sec_per_chip": 947.7,
+                   "query_p50_ms_100k_gallery": 0.29,
+                   "vit_embed_images_per_sec_per_chip": 2695.0,
+                   "sham_train_images_per_sec_per_chip": 544.7,
+                   "knn_eval_ms_100k_k5": 129.2,
+                   "knn_eval_ms_100k_all7ks": 310.0,
+               }}
+    assert check_payload(payload) == []
+    assert check_payload({"parsed": payload}) == []
+
+
+def test_checker_rejects_zeroed_headline():
+    problems = check_payload({"metric": "m", "value": 0.0, "unit": "u",
+                              "vs_baseline": 0.0, "extra": {}})
+    assert any("value not positive" in p for p in problems)
+
+
+def test_all_post_r4_driver_artifacts_complete():
+    """THE gate: every driver artifact from r5 on must carry the full key
+    set. Fails the suite loudly at the next round's open if a bench budget
+    blowout ever gaps the scoreboard again."""
+    gated = [(n, p) for n, p in bench_artifacts()
+             if n > GRANDFATHERED_THROUGH]
+    if not gated:  # r5's artifact is written by the driver after this round
+        return
+    assert main([]) == 0

@@ -511,7 +511,7 @@ def _eval(features, xs_tr, ys_tr, xs_te, ys_te):
 
 
 def main(argv=None):
-    global SIZE, N_TRAIN, BACKBONE, B
+    global SIZE, N_TRAIN, N_TEST, BACKBONE, B
     global VIEW_BLUR_K, TRIPLET_W, MSE_W, CROSS_AUG, ZERO_INIT_RES
     p = argparse.ArgumentParser()
     p.add_argument("--side", default="both",
@@ -521,6 +521,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--size", type=int, default=SIZE)
     p.add_argument("--n_train", type=int, default=N_TRAIN)
+    p.add_argument("--n_test", type=int, default=N_TEST,
+                   help="eval query count; >=4096 drops the binomial "
+                        "accuracy floor to +-0.6pp at 1 sigma (VERDICT r4 "
+                        "#2). NOTE: make_dataset permutes over "
+                        "n_train+n_test, so runs are only comparable at "
+                        "identical (n_train, n_test)")
     p.add_argument("--out", default="/tmp/accuracy_parity.json")
     p.add_argument("--backbone", default="resnet18",
                    choices=["resnet18", "resnet50"],
@@ -546,9 +552,15 @@ def main(argv=None):
                         "BN gammas (matched-init comparison; the reference "
                         "default is gamma=1)")
     args = p.parse_args(argv)
+    # honor HAIRCI_PLATFORM for --side torch too: _eval's kNN is jax, and
+    # a torch-only background run must not touch the TPU relay
+    from hairci.utils import apply_platform_env, enable_compilation_cache
+
+    apply_platform_env()
+    enable_compilation_cache()  # hairci-side jits recur across seed runs
     ZERO_INIT_RES = args.torch_zero_init_residual
     BACKBONE, B = args.backbone, args.batch
-    SIZE, N_TRAIN = args.size, args.n_train
+    SIZE, N_TRAIN, N_TEST = args.size, args.n_train, args.n_test
     VIEW_BLUR_K = args.view_blur_k or None
     CROSS_AUG = args.cross_aug
     if args.simclr_only:

@@ -559,12 +559,7 @@ def main() -> None:
         ("ViT-B/16 embed", 300, 60, run_vit_embed),
         ("SHAM train step, mined stage", 450, 110, run_sham_train),
     ]
-    for label, cold, warm_cost, runner in sections:
-        cost = warm_cost if warm else cold
-        if remaining() < cost:
-            print(f"[{label}] SKIPPED ({remaining():.0f}s left < {cost}s "
-                  "worst-case)", file=sys.stderr)
-            continue
+    def attempt(label, runner) -> None:
         print(f"[{label}]", file=sys.stderr)
         t_sec = time.perf_counter()
         got = runner()
@@ -573,6 +568,29 @@ def main() -> None:
         for key, val in got.items():
             print(f"  {key} = {val}", file=sys.stderr)
         extra.update(got)
+
+    deferred = []
+    for label, cold, warm_cost, runner in sections:
+        cost = warm_cost if warm else cold
+        if remaining() < cost:
+            print(f"[{label}] DEFERRED ({remaining():.0f}s left < {cost}s "
+                  "worst-case)", file=sys.stderr)
+            deferred.append((label, runner))
+            continue
+        attempt(label, runner)
+
+    # Last-chance pass: with the watchdog guaranteeing the JSON-so-far at
+    # budget+45s, attempting a deferred section in leftover time risks
+    # nothing but wall-clock — worst case its keys just don't land, which
+    # is exactly what skipping guarantees. Keys already gathered are safe
+    # either way. Earlier sections in the priority order get first shot.
+    for label, runner in deferred:
+        if remaining() < 120:
+            print(f"[{label}] SKIPPED ({remaining():.0f}s left < 120s "
+                  "last-chance floor)", file=sys.stderr)
+            continue
+        print(f"[last-chance, {remaining():.0f}s left]", file=sys.stderr)
+        attempt(label, runner)
 
     _done.set()
     watchdog.cancel()

@@ -31,6 +31,16 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     try:
         import jax
 
+        # CPU-backend runs (test suite, driver dryrun) skip the cache
+        # unless HAIRCI_JIT_CACHE explicitly opts in: XLA:CPU AOT reload
+        # spams machine-feature-mismatch errors (+prefer-no-gather/scatter
+        # pseudo-features absent from host detection) and warns of SIGILL,
+        # and CPU compiles aren't the 80-853 s relay pathology this cache
+        # exists for.
+        if (jax.default_backend() == "cpu"
+                and not os.environ.get("HAIRCI_JIT_CACHE")):
+            log.info("persistent compilation cache skipped on cpu backend")
+            return None
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

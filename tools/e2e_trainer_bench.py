@@ -152,13 +152,15 @@ def main(argv=None) -> None:
     p.add_argument("--out", default="/tmp/e2e_trainer_bench.json")
     args = p.parse_args(argv)
 
+    from hairci.utils import apply_platform_env, enable_compilation_cache
+
+    apply_platform_env()  # honor HAIRCI_PLATFORM=cpu for off-relay smokes
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from hairci.data import DataLoader, load_manifest
     from hairci.ssl import build_recipe
-    from hairci.utils import enable_compilation_cache
-
-    enable_compilation_cache()
     os.makedirs(args.workdir, exist_ok=True)
     # JPEG source a bit larger than the loader's raw_resize target, like
     # real CelebA crops vs the 224 transform

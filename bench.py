@@ -428,6 +428,11 @@ def main() -> None:
         if not _done.is_set():
             print("[watchdog] budget blown — emitting partial JSON",
                   file=sys.stderr, flush=True)
+            # Self-describing partial artifact: lets tools/check_bench_keys.py
+            # (and the judge) tell a relay stall handled gracefully apart
+            # from a bench bug (BENCH_RESULTS.md run D: a 34-75 s section
+            # hung ~15 min mid-process).
+            result["extra"]["bench_watchdog_cut"] = True
             _emit()
             os._exit(0)
 

@@ -47,6 +47,23 @@ def test_checker_rejects_zeroed_headline():
     assert any("value not positive" in p for p in problems)
 
 
+def test_checker_annotates_watchdog_cut_artifacts():
+    """A watchdog-cut partial artifact (bench.py sets
+    ``extra.bench_watchdog_cut`` before emitting — BENCH_RESULTS.md run D's
+    mid-process relay hang) must still FAIL the gate (VERDICT r4 #6), but
+    with a note distinguishing the environment stall from a bench bug."""
+    payload = {"metric": "resnet50_embed_throughput", "value": 12972.8,
+               "unit": "images/sec/chip", "vs_baseline": 5.897,
+               "extra": {"knn_eval_ms_100k_k5": 131.8,
+                         "bench_watchdog_cut": True}}
+    problems = check_payload(payload)
+    assert any("missing extra key" in p for p in problems)
+    assert any("watchdog-cut" in p for p in problems)
+    # complete artifacts never carry the note
+    assert not any("watchdog-cut" in p for p in check_payload(
+        {**payload, "extra": {}}))
+
+
 def test_all_post_r4_driver_artifacts_complete():
     """THE gate: every driver artifact from r5 on must carry the full key
     set. Fails the suite loudly at the next round's open if a bench budget

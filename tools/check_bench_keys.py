@@ -50,6 +50,13 @@ def check_payload(payload: dict) -> list[str]:
     extra = parsed.get("extra") or {}
     problems += [f"missing extra key: {k}" for k in REQUIRED_EXTRA
                  if k not in extra]
+    if problems and extra.get("bench_watchdog_cut"):
+        problems.append(
+            "note: artifact is watchdog-cut — bench.py emitted the "
+            "JSON-so-far after a relay stall ate the budget (environment "
+            "event, not a bench bug; see BENCH_RESULTS.md run D). Gaps "
+            "above still gate: re-run `python bench.py` for a complete "
+            "artifact.")
     return problems
 
 
